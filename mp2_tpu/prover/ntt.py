@@ -1,0 +1,171 @@
+"""Number-theoretic transform over Goldilocks (radix-2, vectorized).
+
+The prover's hot loop: polynomial <-> evaluation conversions and low-degree
+extensions onto FRI cosets (role of plonky2's `fft`/`coset_fft` in the
+reference's layer 0).  Goldilocks has 2-adicity 32, so sizes to 2^32 exist;
+practical circuit sizes are 2^12..2^22.
+
+Algorithm: iterative DIT with one bit-reversal gather up front, then log2(n)
+stages of contiguous-half butterflies expressed as reshapes — XLA lowers each
+stage to fused VPU ops with no scatter/gather.  Twiddles are compile-time
+constants per (n, stage).  Extension-field (GF(p^2)) vectors transform
+componentwise (the NTT is GF(p)-linear and twiddles are base-field).
+
+For the sharded multi-chip path (2^22+) see mp2_tpu.parallel and the Pallas
+kernel in mp2_tpu.ops.ntt_pallas.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from mp2_tpu.field import goldilocks as gl
+from mp2_tpu.field.ext2 import GF2
+from mp2_tpu.field.goldilocks import GF, P, POWER_OF_TWO_GENERATOR
+
+
+@lru_cache(maxsize=None)
+def _root_of_unity(log_n: int) -> int:
+    """Primitive 2^log_n-th root of unity (canonical tower from the 2^32
+    generator, matching plonky2's primitive_root_of_unity)."""
+    assert 0 <= log_n <= 32
+    g = POWER_OF_TWO_GENERATOR
+    for _ in range(32 - log_n):
+        g = g * g % P
+    return g
+
+
+@lru_cache(maxsize=None)
+def _bitrev_indices(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def _stage_twiddles(log_n: int, inverse: bool):
+    """Twiddle tables: for stage s (1-based), w_{2^s}^j for j < 2^(s-1)."""
+    tables = []
+    for s in range(1, log_n + 1):
+        w = _root_of_unity(s)
+        if inverse:
+            w = pow(w, P - 2, P)
+        half = 1 << (s - 1)
+        tw = np.empty(half, dtype=np.uint64)
+        cur = 1
+        for j in range(half):
+            tw[j] = cur
+            cur = cur * w % P
+        tables.append(tw)
+    return tables
+
+
+def ntt(x: GF, inverse: bool = False) -> GF:
+    """Transform along the last axis (length must be a power of two)."""
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    if n == 1:
+        return x
+    batch = x.shape[:-1]
+
+    x = gl.take(x, _bitrev_indices(log_n), axis=-1)
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        half = m // 2
+        v = x.reshape(batch + (n // m, 2, half))
+        e = v[..., 0, :]
+        o = v[..., 1, :]
+        tw = gl.from_u64(_stage_twiddles(log_n, inverse)[s - 1])
+        t = gl.mul(o, tw)
+        x = gl.concat([gl.add(e, t), gl.sub(e, t)], axis=-1).reshape(batch + (n,))
+    if inverse:
+        x = gl.mul_const(x, pow(n, P - 2, P))
+    return x
+
+
+def intt(x: GF) -> GF:
+    return ntt(x, inverse=True)
+
+
+def coset_ntt(coeffs: GF, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
+    """Evaluate on the coset shift*H (plonky2's coset_fft)."""
+    n = coeffs.shape[-1]
+    powers = _power_table(shift, n)
+    return ntt(gl.mul(coeffs, gl.from_u64(powers)))
+
+
+def coset_intt(evals: GF, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
+    n = evals.shape[-1]
+    coeffs = intt(evals)
+    powers = _power_table(pow(shift, P - 2, P), n)
+    return gl.mul(coeffs, gl.from_u64(powers))
+
+
+@lru_cache(maxsize=None)
+def _power_table(base: int, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    cur = 1
+    for i in range(n):
+        out[i] = cur
+        cur = cur * base % P
+    return out
+
+
+def lde(
+    coeffs: GF, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR
+) -> GF:
+    """Low-degree extension: zero-pad to n*2^rate_bits, evaluate on shift*H."""
+    n = coeffs.shape[-1]
+    big = n << rate_bits
+    pad = gl.zeros(coeffs.shape[:-1] + (big - n,))
+    return coset_ntt(gl.concat([coeffs, pad], axis=-1), shift)
+
+
+def ntt_ext(x: GF2, inverse: bool = False) -> GF2:
+    """Extension-field transform: componentwise (GF(p)-linear)."""
+    return GF2(ntt(x.c0, inverse), ntt(x.c1, inverse))
+
+
+# --- host golden model ------------------------------------------------------
+
+
+def host_ntt(values, inverse=False):
+    """O(n log n) recursive python-int NTT (golden model for tests)."""
+    n = len(values)
+    if n == 1:
+        return list(values)
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    w = _root_of_unity(log_n)
+    if inverse:
+        w = pow(w, P - 2, P)
+    even = host_ntt(values[0::2], inverse)
+    odd = host_ntt(values[1::2], inverse)
+    out = [0] * n
+    wj = 1
+    for j in range(n // 2):
+        t = wj * odd[j] % P
+        out[j] = (even[j] + t) % P
+        out[j + n // 2] = (even[j] - t) % P
+        wj = wj * w % P
+    return out
+
+
+def host_intt(values):
+    n = len(values)
+    out = host_ntt(values, inverse=True)
+    n_inv = pow(n, P - 2, P)
+    return [v * n_inv % P for v in out]
+
+
+def host_eval_poly(coeffs, x: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % P
+    return acc
