@@ -4,17 +4,25 @@ State is a GF tensor of shape (..., 12); all lanes of the batch run the
 permutation in lockstep on the VPU.  Bit-identical to the host golden model
 (mp2_tpu.hash.poseidon2_host) — asserted in tests/test_poseidon2.py.
 
-Design notes (TPU):
-  * small-constant multiplications in the M4 block use add/double chains
-    (an add is ~10 u32 VPU ops vs ~60 for a generic 64x64 field mul);
-  * the internal-matrix sum term is a log-depth tree reduction;
-  * for throughput-critical paths (Merkle levels, FRI leaf hashing) see the
-    Pallas kernel in mp2_tpu.ops.poseidon2_pallas.
+Design notes (TPU/XLA):
+  * rounds are rolled into lax.fori_loop with the constant tables as gathered
+    arrays — keeps the traced graph small (fast compiles) while XLA unrolls/
+    pipelines as it sees fit;
+  * the M4 block acts on shape (..., 3, 4) so the three 4-lane chunks fold
+    into the batch — one add-chain serves all chunks;
+  * small-constant multiplies use add/double chains (an add is ~10 u32 VPU
+    ops vs ~60 for a generic 64x64 field mul);
+  * jit per batch shape, with batch canonicalized to flat power-of-two sizes
+    by the sponge wrappers to bound the number of compilations.
 """
 
 from __future__ import annotations
 
 from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
 
 from mp2_tpu.field import goldilocks as gl
 from mp2_tpu.field.goldilocks import GF
@@ -23,19 +31,27 @@ from mp2_tpu.hash.constants import RATE, ROUNDS_F, ROUNDS_P, WIDTH, load_table
 _EXT_RC, _INT_RC, _INT_DIAG = load_table()
 
 
+def _const_table(vals) -> GF:
+    arr = np.asarray(vals, dtype=np.object_)
+    return gl.from_u64(arr)
+
+
+# (8, 12), (22,), (12,) constant tables as GF tensors.
+_EXT_RC_T = _const_table(_EXT_RC)
+_INT_RC_T = _const_table(_INT_RC)
+_INT_DIAG_M1_T = _const_table([(d - 1) % gl.P for d in _INT_DIAG])
+
+
 def _dbl(x: GF) -> GF:
     return gl.add(x, x)
 
 
-def _apply_m4(c: List[GF]) -> List[GF]:
-    """y = M4 @ c with M4 = [[5,7,1,3],[4,6,1,1],[1,3,5,7],[1,1,4,6]].
-
-    Add-chain form (Poseidon2 reference optimization):
-      t0 = c0 + c1; t1 = c2 + c3; t2 = 2*c1 + t1; t3 = 2*c3 + t0
-      t4 = 4*t1 + t3; t5 = 4*t0 + t2; t6 = t3 + t5; t7 = t2 + t4
-      result = (t6, t5, t7, t4)
-    """
-    c0, c1, c2, c3 = c
+def _external_linear(state: GF) -> GF:
+    """M_E = circ(2*M4, M4, M4) acting on (..., 12)."""
+    batch = state.shape[:-1]
+    c = state.reshape(batch + (3, 4))
+    c0, c1, c2, c3 = (c[..., i] for i in range(4))
+    # M4 add-chain (Poseidon2 reference optimization), chunk dim in batch:
     t0 = gl.add(c0, c1)
     t1 = gl.add(c2, c3)
     t2 = gl.add(_dbl(c1), t1)
@@ -44,57 +60,69 @@ def _apply_m4(c: List[GF]) -> List[GF]:
     t5 = gl.add(_dbl(_dbl(t0)), t2)
     t6 = gl.add(t3, t5)
     t7 = gl.add(t2, t4)
-    return [t6, t5, t7, t4]
+    m = gl.stack([t6, t5, t7, t4], axis=-1)  # (..., 3, 4)
+    # add the sum of the three chunks to each chunk
+    s01 = gl.add(m[..., 0, :], m[..., 1, :])
+    total = gl.add(s01, m[..., 2, :])  # (..., 4)
+    out = gl.add(m, GF(total.lo[..., None, :], total.hi[..., None, :]))
+    return out.reshape(batch + (WIDTH,))
 
 
-def _external_linear(lanes: List[GF]) -> List[GF]:
-    chunks = [_apply_m4(lanes[i : i + 4]) for i in range(0, WIDTH, 4)]
-    total = [
-        gl.add(gl.add(chunks[0][i], chunks[1][i]), chunks[2][i]) for i in range(4)
-    ]
-    out = []
-    for ch in chunks:
-        out.extend(gl.add(ch[i], total[i]) for i in range(4))
-    return out
+def _sum_lanes(state: GF) -> GF:
+    """Field sum over the last axis (12 lanes), log-depth."""
+    x = state
+    # 12 -> 6 -> 3 -> (2+1) -> 1
+    while x.shape[-1] > 1:
+        n = x.shape[-1]
+        half = n // 2
+        red = gl.add(x[..., 0 : 2 * half : 2], x[..., 1 : 2 * half : 2])
+        if n % 2:
+            red = gl.concat([red, x[..., n - 1 :]], axis=-1)
+        x = red
+    return x[..., 0]
 
 
-def _internal_linear(lanes: List[GF]) -> List[GF]:
-    # tree-sum of the 12 lanes
-    acc = lanes
-    while len(acc) > 1:
-        nxt = [gl.add(acc[i], acc[i + 1]) for i in range(0, len(acc) - 1, 2)]
-        if len(acc) % 2:
-            nxt.append(acc[-1])
-        acc = nxt
-    s = acc[0]
-    return [
-        gl.add(s, gl.mul_const(lanes[i], (_INT_DIAG[i] - 1) % gl.P))
-        for i in range(WIDTH)
-    ]
+def _internal_linear(state: GF) -> GF:
+    s = _sum_lanes(state)
+    scaled = gl.mul(state, _INT_DIAG_M1_T)
+    return gl.add(scaled, GF(s.lo[..., None], s.hi[..., None]))
 
 
-def permute_lanes(lanes: List[GF]) -> List[GF]:
-    """Permutation on 12 separate GF tensors (one per lane)."""
-    assert len(lanes) == WIDTH
-    st = _external_linear(lanes)
+def _permute_impl(state: GF) -> GF:
     half = ROUNDS_F // 2
-    for r in range(half):
-        st = [gl.exp7(gl.add_const(x, rc)) for x, rc in zip(st, _EXT_RC[r])]
-        st = _external_linear(st)
-    for r in range(ROUNDS_P):
-        st = [gl.exp7(gl.add_const(st[0], _INT_RC[r]))] + st[1:]
-        st = _internal_linear(st)
-    for r in range(half, ROUNDS_F):
-        st = [gl.exp7(gl.add_const(x, rc)) for x, rc in zip(st, _EXT_RC[r])]
-        st = _external_linear(st)
+    st = _external_linear(state)
+
+    def full_round(r, st, offset):
+        rc = GF(_EXT_RC_T.lo[r + offset], _EXT_RC_T.hi[r + offset])
+        st = gl.exp7(gl.add(st, rc))
+        return _external_linear(st)
+
+    def partial_round(r, st):
+        rc = GF(_INT_RC_T.lo[r], _INT_RC_T.hi[r])
+        x0 = gl.exp7(gl.add(st[..., 0], rc))
+        st = GF(
+            st.lo.at[..., 0].set(x0.lo), st.hi.at[..., 0].set(x0.hi)
+        )
+        return _internal_linear(st)
+
+    st = jax.lax.fori_loop(0, half, lambda r, s: full_round(r, s, 0), st)
+    st = jax.lax.fori_loop(0, ROUNDS_P, partial_round, st)
+    st = jax.lax.fori_loop(0, half, lambda r, s: full_round(r, s, half), st)
     return st
+
+
+_permute_jit = jax.jit(_permute_impl)
 
 
 def permute(state: GF) -> GF:
     """Permutation on a GF tensor of shape (..., 12)."""
-    lanes = [state[..., i] for i in range(WIDTH)]
-    out = permute_lanes(lanes)
-    return gl.stack(out, axis=-1)
+    return _permute_jit(state)
+
+
+def permute_lanes(lanes: List[GF]) -> List[GF]:
+    """Permutation on 12 separate GF tensors (one per lane)."""
+    out = permute(gl.stack(lanes, axis=-1))
+    return [out[..., i] for i in range(WIDTH)]
 
 
 def hash_n_to_m_no_pad(inputs: GF, num_outputs: int) -> GF:
