@@ -28,7 +28,7 @@ class GF2(NamedTuple):
 
     @property
     def shape(self):
-        return self.c0.lo.shape
+        return self.c0.shape
 
     def __add__(self, o):
         return add(self, o)

@@ -64,7 +64,7 @@ def _external_linear(state: GF) -> GF:
     # add the sum of the three chunks to each chunk
     s01 = gl.add(m[..., 0, :], m[..., 1, :])
     total = gl.add(s01, m[..., 2, :])  # (..., 4)
-    out = gl.add(m, GF(total.lo[..., None, :], total.hi[..., None, :]))
+    out = gl.add(m, GF(total.v[..., None, :]))
     return out.reshape(batch + (WIDTH,))
 
 
@@ -85,7 +85,7 @@ def _sum_lanes(state: GF) -> GF:
 def _internal_linear(state: GF) -> GF:
     s = _sum_lanes(state)
     scaled = gl.mul(state, _INT_DIAG_M1_T)
-    return gl.add(scaled, GF(s.lo[..., None], s.hi[..., None]))
+    return gl.add(scaled, GF(s.v[..., None]))
 
 
 def _permute_impl(state: GF) -> GF:
@@ -93,16 +93,14 @@ def _permute_impl(state: GF) -> GF:
     st = _external_linear(state)
 
     def full_round(r, st, offset):
-        rc = GF(_EXT_RC_T.lo[r + offset], _EXT_RC_T.hi[r + offset])
+        rc = _EXT_RC_T[r + offset]
         st = gl.exp7(gl.add(st, rc))
         return _external_linear(st)
 
     def partial_round(r, st):
-        rc = GF(_INT_RC_T.lo[r], _INT_RC_T.hi[r])
+        rc = _INT_RC_T[r]
         x0 = gl.exp7(gl.add(st[..., 0], rc))
-        st = GF(
-            st.lo.at[..., 0].set(x0.lo), st.hi.at[..., 0].set(x0.hi)
-        )
+        st = GF(st.v.at[..., 0].set(x0.v))
         return _internal_linear(st)
 
     st = jax.lax.fori_loop(0, half, lambda r, s: full_round(r, s, 0), st)

@@ -118,6 +118,10 @@ def _ext_leaves(v: GF2) -> GF:
 # ---------------------------------------------------------------------------
 
 
+import jax
+
+
+@jax.jit
 def fold_codeword(v: GF2, beta: GF2, inv_2x: GF) -> GF2:
     """Arity-2 fold in rev order:
     next_i = (e + o)/2 + beta * (e - o) * inv(2 x_i)."""
@@ -241,12 +245,10 @@ def _grind(challenger: Challenger, pow_bits: int) -> int:
 
         clone = Challenger(batch=(batch,))
         clone._state = [
-            GF(jnp.broadcast_to(s.lo, (batch,)), jnp.broadcast_to(s.hi, (batch,)))
-            for s in challenger._state
+            GF(jnp.broadcast_to(s.v, (batch,))) for s in challenger._state
         ]
         clone._input_buffer = [
-            GF(jnp.broadcast_to(b.lo, (batch,)), jnp.broadcast_to(b.hi, (batch,)))
-            for b in challenger._input_buffer
+            GF(jnp.broadcast_to(b.v, (batch,))) for b in challenger._input_buffer
         ]
         clone.observe(gl.from_u64(nonces))
         ch = gl.to_u64(clone.get_challenge())

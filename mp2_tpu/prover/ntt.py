@@ -65,6 +65,11 @@ def _stage_twiddles(log_n: int, inverse: bool):
     return tables
 
 
+import jax
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("inverse",))
 def ntt(x: GF, inverse: bool = False) -> GF:
     """Transform along the last axis (length must be a power of two)."""
     n = x.shape[-1]

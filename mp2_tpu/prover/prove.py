@@ -1,0 +1,679 @@
+"""TP2 prover: plonky2-shaped prove/verify over the TPU field stack.
+
+Pipeline (cf. reference call stack SURVEY.md §3.5 — every proof in the
+system goes through this engine):
+
+  witness matrix (n x W, domain H natural order)
+    -> wire polynomials (iNTT) -> coset LDE (8n) -> Merkle-cap commit
+    -> permutation argument: Z + partial-product columns per challenge set
+    -> quotient: combined constraint evaluation on the LDE coset / Z_H
+    -> openings at (zeta, g*zeta)  [extension field]
+    -> batched FRI opening proof over all oracles
+
+Device/host split: all polynomial arithmetic and Merkle hashing is JAX
+(vectorized over the LDE domain, jit-cached per circuit shape); the
+transcript bookkeeping is host-side; the verifier is host-exact python ints
+(the golden model for the future recursive verifier gadget).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from mp2_tpu.field import ext2
+from mp2_tpu.field import goldilocks as gl
+from mp2_tpu.field.ext2 import GF2
+from mp2_tpu.field.goldilocks import GF, P
+from mp2_tpu.hash import poseidon2_host as p2h
+from mp2_tpu.hash.challenger import Challenger, HostChallenger
+from mp2_tpu.prover import fri as fri_mod
+from mp2_tpu.prover import ntt
+from mp2_tpu.prover.algebra import DeviceAlgebra, HostExtAlgebra
+from mp2_tpu.prover.config import CircuitConfig
+from mp2_tpu.prover.merkle import MerkleTree, verify_merkle_proof
+
+SHIFT = gl.MULTIPLICATIVE_GROUP_GENERATOR  # LDE coset shift
+
+
+# ---------------------------------------------------------------------------
+# compiled circuit
+# ---------------------------------------------------------------------------
+
+
+def _k_coeffs(num_wires: int) -> List[int]:
+    """Pairwise coset-distinct column multipliers: 7^j (7 generates F*)."""
+    ks = []
+    cur = 1
+    for _ in range(num_wires):
+        ks.append(cur)
+        cur = cur * 7 % P
+    return ks
+
+
+@dataclass
+class CircuitData:
+    config: CircuitConfig
+    n: int
+    log_n: int
+    gate_types: List  # [(name, gate_instance)]
+    selector_values: np.ndarray  # (n, T)
+    constants_values: np.ndarray  # (n, num_constants) uint64 (as object ints)
+    sigma_values: np.ndarray  # (n, W)
+    k_coeffs: List[int]
+    rows_meta: List  # Row list (for witness gen / debug)
+    dsu_parent: Dict
+    generators: List
+    public_inputs: List
+
+    # device-side
+    fixed_coeffs: GF = None  # (F, n)
+    fixed_lde: GF = None  # (F, 8n) natural order
+    fixed_tree: MerkleTree = None
+
+    circuit_digest: Tuple[int, int, int, int] = None
+
+    # jit caches (per-circuit compiled stages)
+    _quotient_jit: Callable = None
+    _openings_jit: Callable = None
+    _combine_jit: Callable = None
+
+    # ------------------------------------------------------------------ build
+    @staticmethod
+    def compile(builder) -> "CircuitData":
+        from mp2_tpu.circuit import gates as G
+
+        cfg = builder.config
+        rows = builder.rows
+        n_real = len(rows)
+        n = max(8, 1 << (n_real - 1).bit_length())
+        while len(rows) < n:
+            rows.append(type(rows[0])(G.NoopGate(), []))
+        log_n = n.bit_length() - 1
+
+        # gate-type registry in order of first appearance (constraint order!)
+        gate_types: List = []
+        seen = {}
+        for r in rows:
+            nm = r.gate.name
+            if nm not in seen and r.gate.num_constraints() > 0:
+                seen[nm] = len(gate_types)
+                gate_types.append((nm, r.gate))
+        T = len(gate_types)
+
+        selector_values = np.zeros((n, T), dtype=np.uint64)
+        constants_values = np.zeros((n, cfg.num_constants), dtype=np.uint64)
+        for i, r in enumerate(rows):
+            if r.gate.name in seen:
+                selector_values[i, seen[r.gate.name]] = 1
+            for j, c in enumerate(r.constants):
+                constants_values[i, j] = c
+
+        # sigma from copy classes
+        W = cfg.num_wires
+        ks = _k_coeffs(W)
+        g = ntt._root_of_unity(log_n)
+        x_pows = [1] * n
+        for i in range(1, n):
+            x_pows[i] = x_pows[i - 1] * g % P
+
+        def cell_id(cell):
+            r, c = cell
+            return ks[c] * x_pows[r] % P
+
+        classes: Dict = {}
+        for cell in list(builder.dsu.parent.keys()):
+            root = builder.dsu.find(cell)
+            classes.setdefault(root, []).append(cell)
+        # ensure roots themselves are in their class lists; dedupe
+        for root in list(classes.keys()):
+            classes[root] = sorted(set(classes[root]) | {root})
+
+        sigma_values = np.zeros((n, W), dtype=np.uint64)
+        for i in range(n):
+            for j in range(W):
+                sigma_values[i, j] = cell_id((i, j))
+        for root, cells in classes.items():
+            cells = [c for c in cells if c[0] < n and c[1] < W]
+            cells.sort()
+            m = len(cells)
+            for idx, cell in enumerate(cells):
+                nxt = cells[(idx + 1) % m]
+                sigma_values[cell[0], cell[1]] = cell_id(nxt)
+
+        data = CircuitData(
+            config=cfg,
+            n=n,
+            log_n=log_n,
+            gate_types=gate_types,
+            selector_values=selector_values,
+            constants_values=constants_values,
+            sigma_values=sigma_values,
+            k_coeffs=ks,
+            rows_meta=rows,
+            dsu_parent=builder.dsu,
+            generators=builder.generators,
+            public_inputs=builder.public_inputs,
+        )
+        data._build_fixed()
+        return data
+
+    def _build_fixed(self):
+        cfg = self.config
+        cols = np.concatenate(
+            [self.selector_values, self.constants_values, self.sigma_values],
+            axis=1,
+        ).T  # (F, n)
+        vals = gl.from_u64(cols)
+        self.fixed_coeffs = ntt.intt(vals)
+        self.fixed_lde = _lde_from_coeffs(self.fixed_coeffs, cfg.fri.rate_bits)
+        leaves = _tree_leaves(self.fixed_lde)
+        self.fixed_tree = MerkleTree(
+            leaves, cap_height=min(cfg.fri.cap_height, self.log_n)
+        )
+        cap = gl.to_u64(self.fixed_tree.cap)
+        flat = [int(v) for row in cap for v in row]
+        self.circuit_digest = p2h.hash_no_pad(
+            flat + [self.n, cfg.num_wires, cfg.num_challenges]
+        )
+
+    @property
+    def num_gate_types(self) -> int:
+        return len(self.gate_types)
+
+    @property
+    def fixed_cap_host(self):
+        return [tuple(int(x) for x in r) for r in gl.to_u64(self.fixed_tree.cap)]
+
+    # ------------------------------------------------------------ witness gen
+    def generate_witness(self, inputs: Dict) -> np.ndarray:
+        values: Dict = {}
+        find = self.dsu_parent.find
+
+        def read(t):
+            return values.get(find(t), 0)
+
+        for t, v in inputs.items():
+            values[find(t)] = v % P
+        for out, fn in self.generators:
+            root = find(out)
+            v = fn(read) % P
+            prev = values.get(root)
+            if prev is not None and prev != v:
+                raise ValueError(f"witness conflict at {out}: {prev} vs {v}")
+            values[root] = v
+
+        W = self.config.num_wires
+        w = np.zeros((self.n, W), dtype=np.uint64)
+        for (r, c), root in list(self.dsu_parent.parent.items()):
+            if r < self.n and c < W:
+                w[r, c] = values.get(find((r, c)), 0)
+        for root, v in values.items():
+            r, c = root
+            if r < self.n and c < W:
+                w[r, c] = v
+        return w
+
+    def check_witness(self, w: np.ndarray, public_inputs: List[int]) -> None:
+        """Debug: evaluate every gate's constraints on the raw witness rows."""
+        alg = HostExtAlgebra
+        pi_hash = p2h.hash_no_pad(public_inputs)
+        extras = {"pi_hash": [(h, 0) for h in pi_hash]}
+        for i, row in enumerate(self.rows_meta):
+            wires = [(int(w[i, j]), 0) for j in range(self.config.num_wires)]
+            consts = [
+                (int(self.constants_values[i, j]), 0)
+                for j in range(self.config.num_constants)
+            ]
+            for k, c in enumerate(row.gate.constraints(alg, wires, consts, extras)):
+                if c != (0, 0):
+                    raise AssertionError(
+                        f"constraint {k} of gate {row.gate.name} fails at row {i}"
+                    )
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _lde_from_coeffs(coeffs: GF, rate_bits: int) -> GF:
+    n = coeffs.shape[-1]
+    big = n << rate_bits
+    pad = gl.zeros(coeffs.shape[:-1] + (big - n,))
+    return ntt.coset_ntt(gl.concat([coeffs, pad], axis=-1), SHIFT)
+
+
+def _tree_leaves(lde_nat: GF) -> GF:
+    """(C, 8n) natural -> bitrev -> leaves (8n, C)."""
+    rev = fri_mod.bit_reverse(lde_nat)
+    return gl.transpose(rev)
+
+
+@lru_cache(maxsize=None)
+def _x_table(log_big: int) -> np.ndarray:
+    return ntt._power_table(ntt._root_of_unity(log_big), 1 << log_big)
+
+
+@lru_cache(maxsize=None)
+def _lde_tables(log_n: int, rate_bits: int):
+    """Host tables on the big coset: x, Z_H(x)^-1, L0(x).  (python-int math:
+    numpy uint64 would wrap mod 2^64.)"""
+    n = 1 << log_n
+    w_pows = [int(v) for v in _x_table(log_n + rate_bits)]
+    x = [SHIFT * v % P for v in w_pows]
+    zh = [(pow(v, n, P) - 1) % P for v in x]
+    zh_inv = [pow(v, P - 2, P) for v in zh]
+    # L0(x) = (x^n - 1) / (n (x - 1))
+    l0 = [z * pow(n * (v - 1) % P, P - 2, P) % P for v, z in zip(x, zh)]
+    return (
+        np.array(x, dtype=np.uint64),
+        np.array(zh_inv, dtype=np.uint64),
+        np.array(l0, dtype=np.uint64),
+    )
+
+
+def _ext_powers_device(z: GF2, count: int) -> GF2:
+    """[1, z, z^2, ...] of length count (log-depth doubling)."""
+    pows = ext2.ones((1,))
+    step = GF2(GF(z.c0.v[None]), GF(z.c1.v[None]))
+    while pows.shape[0] < count:
+        shifted = ext2.mul(pows, step)
+        pows = GF2(
+            gl.concat([pows.c0, shifted.c0], axis=0),
+            gl.concat([pows.c1, shifted.c1], axis=0),
+        )
+        step = ext2.mul(step, step)
+    return pows[:count]
+
+
+def _eval_at_ext(coeffs: GF, zpows: GF2) -> GF2:
+    """Evaluate base-coeff polys (C, n) at an extension point via powers."""
+    c0 = gl.sum_axis(gl.mul(coeffs, zpows.c0), axis=-1)
+    c1 = gl.sum_axis(gl.mul(coeffs, zpows.c1), axis=-1)
+    return GF2(c0, c1)
+
+
+def _ext_inv_device(x: GF2) -> GF2:
+    n = gl.sub(gl.sqr(x.c0), gl.mul_const(gl.sqr(x.c1), ext2.W))
+    ninv = gl.inv(n)
+    return GF2(gl.mul(x.c0, ninv), gl.mul(gl.neg(x.c1), ninv))
+
+
+# ---------------------------------------------------------------------------
+# proof object
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Openings:
+    fixed: List[Tuple[int, int]]
+    wires: List[Tuple[int, int]]
+    zs_partials: List[Tuple[int, int]]
+    quotient: List[Tuple[int, int]]
+    zs_next: List[Tuple[int, int]]  # Z columns at g*zeta
+
+    def batch1(self) -> List[Tuple[int, int]]:
+        return self.fixed + self.wires + self.zs_partials + self.quotient
+
+    def flat(self) -> List[Tuple[int, int]]:
+        return self.batch1() + self.zs_next
+
+
+@dataclass
+class Proof:
+    wires_cap: np.ndarray
+    zs_cap: np.ndarray
+    quotient_cap: np.ndarray
+    openings: Openings
+    fri: fri_mod.FriProof
+    public_inputs: List[int]
+
+
+# ---------------------------------------------------------------------------
+# constraint-term evaluation (shared device/host shape)
+# ---------------------------------------------------------------------------
+
+
+def _gate_terms(data: CircuitData, alg, sel, consts, wires, extras) -> List:
+    """All gate constraint terms x their selector, in canonical order."""
+    terms = []
+    for t, (name, gate) in enumerate(data.gate_types):
+        cs = gate.constraints(alg, wires, consts, extras)
+        for c in cs:
+            terms.append(alg.mul(sel[t], c))
+    return terms
+
+
+# ---------------------------------------------------------------------------
+# prover
+# ---------------------------------------------------------------------------
+
+
+def prove(data: CircuitData, witness: np.ndarray, public_inputs: List[int]) -> Proof:
+    cfg = data.config
+    n, log_n = data.n, data.log_n
+    W = cfg.num_wires
+    nc = cfg.num_challenges
+    rate = cfg.fri.rate_bits
+    big = n << rate
+    cap_h = min(cfg.fri.cap_height, log_n)
+
+    pi_hash = p2h.hash_no_pad(public_inputs)
+
+    ch = Challenger()
+    ch.observe(gl.from_u64(list(data.circuit_digest)))
+    ch.observe(gl.from_u64(list(pi_hash)))
+
+    # --- wires ---
+    wire_vals = gl.from_u64(witness.T.astype(np.uint64))  # (W, n)
+    wire_coeffs = ntt.intt(wire_vals)
+    wire_lde = _lde_from_coeffs(wire_coeffs, rate)
+    wires_tree = MerkleTree(_tree_leaves(wire_lde), cap_height=cap_h)
+    ch.observe(wires_tree.cap.reshape((-1,)))
+
+    betas = [int(gl.to_u64(c)) for c in ch.get_n_challenges(nc)]
+    gammas = [int(gl.to_u64(c)) for c in ch.get_n_challenges(nc)]
+
+    # --- permutation columns (host ints; vectorization TODO) ---
+    zs_cols_host = _compute_zs(data, witness, betas, gammas)  # (zcols, n)
+    zs_vals = gl.from_u64(zs_cols_host)
+    zs_coeffs = ntt.intt(zs_vals)
+    zs_lde = _lde_from_coeffs(zs_coeffs, rate)
+    zs_tree = MerkleTree(_tree_leaves(zs_lde), cap_height=cap_h)
+    ch.observe(zs_tree.cap.reshape((-1,)))
+
+    alphas = [int(gl.to_u64(c)) for c in ch.get_n_challenges(nc)]
+
+    # --- quotient (jitted per circuit) ---
+    if data._quotient_jit is None:
+        data._quotient_jit = _make_quotient_fn(data)
+    quo_vals = data._quotient_jit(
+        data.fixed_lde,
+        wire_lde,
+        zs_lde,
+        gl.from_u64(betas),
+        gl.from_u64(gammas),
+        gl.from_u64(alphas),
+        gl.from_u64(list(pi_hash)),
+    )  # (nc, big)
+    quo_coeffs_full = ntt.coset_intt(quo_vals, SHIFT)  # (nc, big)
+    # split into quotient_degree_factor chunks of length n each
+    qk = cfg.quotient_degree_factor
+    assert qk == 1 << rate, "quotient factor must equal the LDE blowup"
+    quo_chunk_coeffs = GF(quo_coeffs_full.v.reshape(nc * qk, n))
+    quo_lde = _lde_from_coeffs(quo_chunk_coeffs, rate)
+    quo_tree = MerkleTree(_tree_leaves(quo_lde), cap_height=cap_h)
+    ch.observe(quo_tree.cap.reshape((-1,)))
+
+    zeta = ch.get_extension_challenge()
+
+    # --- openings (jitted) ---
+    z_cols_idx = np.array(
+        [c * (1 + cfg.num_partial_products) for c in range(nc)]
+    )
+    g = ntt._root_of_unity(log_n)
+    if data._openings_jit is None:
+        data._openings_jit = _make_openings_fn(g)
+    z_coeffs_only = gl.take(zs_coeffs, z_cols_idx, axis=0)
+    fixed_open, wires_open, zsp_open, quo_open, zs_next_open, gzeta = (
+        data._openings_jit(
+            data.fixed_coeffs, wire_coeffs, zs_coeffs, quo_chunk_coeffs,
+            z_coeffs_only, zeta,
+        )
+    )
+
+    def _host_pairs(o: GF2):
+        a = gl.to_u64(o.c0)
+        b = gl.to_u64(o.c1)
+        if a.ndim == 0:
+            return [(int(a), int(b))]
+        return [(int(x), int(y)) for x, y in zip(a, b)]
+
+    openings = Openings(
+        fixed=_host_pairs(fixed_open),
+        wires=_host_pairs(wires_open),
+        zs_partials=_host_pairs(zsp_open),
+        quotient=_host_pairs(quo_open),
+        zs_next=_host_pairs(zs_next_open),
+    )
+    for a, b in openings.flat():
+        ch.observe(gl.from_u64(a))
+        ch.observe(gl.from_u64(b))
+
+    alpha_fri = ch.get_extension_challenge()
+
+    # --- combined FRI polynomial (jitted) ---
+    all_lde = gl.concat([data.fixed_lde, wire_lde, zs_lde, quo_lde], axis=0)
+    z_lde_only = gl.take(zs_lde, z_cols_idx, axis=0)
+    opens1 = GF2(
+        gl.concat([fixed_open.c0, wires_open.c0, zsp_open.c0, quo_open.c0], 0),
+        gl.concat([fixed_open.c1, wires_open.c1, zsp_open.c1, quo_open.c1], 0),
+    )
+    if data._combine_jit is None:
+        data._combine_jit = jax.jit(_combine_fri_poly)
+    final_evals = data._combine_jit(
+        all_lde, z_lde_only, opens1, zs_next_open, alpha_fri, zeta, gzeta
+    )
+    final_rev = fri_mod.bit_reverse_ext(final_evals)
+
+    fri_proof = fri_mod.prove(
+        ch,
+        final_rev,
+        [data.fixed_tree, wires_tree, zs_tree, quo_tree],
+        cfg.fri,
+        cfg.fri_final_poly_bits,
+    )
+
+    return Proof(
+        wires_cap=gl.to_u64(wires_tree.cap),
+        zs_cap=gl.to_u64(zs_tree.cap),
+        quotient_cap=gl.to_u64(quo_tree.cap),
+        openings=openings,
+        fri=fri_proof,
+        public_inputs=list(public_inputs),
+    )
+
+
+def _compute_zs(data: CircuitData, witness, betas, gammas) -> np.ndarray:
+    """Z and partial-product columns, host ints.  (zcols, n)."""
+    cfg = data.config
+    n, W = data.n, cfg.num_wires
+    chunk = cfg.permutation_chunk_size
+    n_chunks = -(-W // chunk)
+    g = ntt._root_of_unity(data.log_n)
+    ks = data.k_coeffs
+    out = np.zeros((cfg.zs_partials_cols, n), dtype=np.uint64)
+    for c in range(cfg.num_challenges):
+        beta, gamma = betas[c], gammas[c]
+        base = c * (1 + cfg.num_partial_products)
+        z = 1
+        x = 1
+        for i in range(n):
+            out[base, i] = z
+            # chunk ratios at row i
+            acc = z
+            for t in range(n_chunks):
+                num = den = 1
+                for j in range(t * chunk, min((t + 1) * chunk, W)):
+                    wv = int(witness[i, j])
+                    num = num * ((wv + beta * ks[j] * x + gamma) % P) % P
+                    den = den * ((wv + beta * int(data.sigma_values[i, j]) + gamma) % P) % P
+                acc = acc * num % P * pow(den, P - 2, P) % P
+                if t < n_chunks - 1:
+                    out[base + 1 + t, i] = acc
+            z = acc
+            x = x * g % P
+        assert z == 1, "permutation argument: cyclic product != 1 (copy bug?)"
+    return out
+
+
+def _make_quotient_fn(data: CircuitData):
+    """Build the per-circuit jitted quotient evaluator.
+
+    Challenges arrive as traced GF scalars so one compilation serves every
+    proof of this circuit.
+    """
+    cfg = data.config
+    n, log_n = data.n, data.log_n
+    rate = cfg.fri.rate_bits
+    big = n << rate
+    W = cfg.num_wires
+    T = data.num_gate_types
+    nC = cfg.num_constants
+    chunk = cfg.permutation_chunk_size
+    n_chunks = -(-W // chunk)
+    k_coeffs = list(data.k_coeffs)
+    gate_types = list(data.gate_types)
+
+    x_t, zh_inv_t, l0_t = _lde_tables(log_n, rate)
+
+    assert W % chunk == 0, "vectorized chunks assume chunk | W"
+
+    def fn(fixed_lde, wire_lde, zs_lde, betas, gammas, alphas, pi_hash):
+        x = gl.from_u64(x_t)
+        zh_inv = gl.from_u64(zh_inv_t)
+        l0 = gl.from_u64(l0_t)
+        alg = DeviceAlgebra((big,))
+        sel = [fixed_lde[t] for t in range(T)]
+        consts = [fixed_lde[T + j] for j in range(nC)]
+        sigma_m = fixed_lde[T + nC : T + nC + W]  # (W, big)
+        wires = [wire_lde[j] for j in range(W)]
+        extras = {"pi_hash": [pi_hash[i] for i in range(4)]}
+
+        # gate terms -> one stacked (Kg, big) group
+        gate_term_list = []
+        for t, (name, gate) in enumerate(gate_types):
+            for c in gate.constraints(alg, wires, consts, extras):
+                gate_term_list.append(gl.mul(sel[t], c))
+        groups = [gl.stack(gate_term_list, axis=0)]
+
+        k_vec = gl.from_u64(np.array(k_coeffs, dtype=np.uint64)).reshape(W, 1)
+        for c in range(cfg.num_challenges):
+            beta, gamma = betas[c], gammas[c]
+            base = c * (1 + cfg.num_partial_products)
+            z = zs_lde[base]
+            partials = zs_lde[base + 1 : base + 1 + cfg.num_partial_products]
+            z_next = gl.roll(z, -(1 << rate), axis=-1)
+            groups.append(
+                gl.mul(l0, gl.sub(z, gl.ones((big,)))).reshape(1, big)
+            )
+            # vectorized numerators/denominators over all W wires at once
+            bk = gl.mul(k_vec, beta)  # (W, 1)
+            num_all = gl.add(gl.add(wire_lde, gl.mul(bk, x.reshape(1, big))), gamma)
+            den_all = gl.add(gl.add(wire_lde, gl.mul(sigma_m, beta)), gamma)
+            # chunk products: (n_chunks, chunk, big) -> (n_chunks, big)
+            def chunk_prod(m):
+                v = m.reshape(n_chunks, chunk, big)
+                while v.shape[1] > 1:
+                    h = v.shape[1] // 2
+                    v = gl.mul(v[:, :h], v[:, h : 2 * h])
+                return v.reshape(n_chunks, big)
+
+            nums = chunk_prod(num_all)
+            dens = chunk_prod(den_all)
+            pps = gl.concat(
+                [z.reshape(1, big), partials, z_next.reshape(1, big)], axis=0
+            )  # (n_chunks + 1, big)
+            groups.append(
+                gl.sub(gl.mul(pps[1:], dens), gl.mul(pps[:-1], nums))
+            )
+
+        all_terms = gl.concat(groups, axis=0)  # (K, big)
+        K = all_terms.shape[0]
+        outs = []
+        for c in range(cfg.num_challenges):
+            apows = _powers_device(alphas[c], K)  # (K,)
+            acc = gl.sum_axis(gl.mul(all_terms, apows.reshape(K, 1)), axis=0)
+            outs.append(gl.mul(acc, zh_inv))
+        return gl.stack(outs, axis=0)
+
+    return jax.jit(fn)
+
+
+def _powers_device(a: GF, count: int) -> GF:
+    """[1, a, a^2, ...] base-field powers of a traced scalar (log-depth)."""
+    pows = gl.ones((1,))
+    step = GF(a.v[None])
+    while pows.shape[0] < count:
+        pows = gl.concat([pows, gl.mul(pows, step)], axis=0)
+        step = gl.mul(step, step)
+    return pows[:count]
+
+
+def _make_openings_fn(g: int):
+    """Jitted opening evaluator: all oracles at zeta, Z columns at g*zeta."""
+
+    def fn(fixed_coeffs, wire_coeffs, zs_coeffs, quo_coeffs, z_only_coeffs, zeta):
+        n = fixed_coeffs.shape[-1]
+        zpows = _ext_powers_device(zeta, n)
+        gzeta = GF2(gl.mul_const(zeta.c0, g), gl.mul_const(zeta.c1, g))
+        gzpows = _ext_powers_device(gzeta, n)
+        return (
+            _eval_at_ext(fixed_coeffs, zpows),
+            _eval_at_ext(wire_coeffs, zpows),
+            _eval_at_ext(zs_coeffs, zpows),
+            _eval_at_ext(quo_coeffs, zpows),
+            _eval_at_ext(z_only_coeffs, gzpows),
+            gzeta,
+        )
+
+    return jax.jit(fn)
+
+
+def _combine_fri_poly(
+    all_lde: GF, z_lde: GF, opens1: GF2, opens2: GF2, alpha: GF2,
+    zeta: GF2, gzeta: GF2
+) -> GF2:
+    """FINAL(x) = sum_i a^i (p_i(x) - o_i)/(x - zeta)
+               + a^n1 * sum_i a^i (z_i(x) - o'_i)/(x - g zeta).
+
+    Fully traced (jitted by the caller); all inputs are device values.
+    """
+    C1 = all_lde.shape[0]
+    C2 = z_lde.shape[0]
+    big = all_lde.shape[-1]
+    log_big = big.bit_length() - 1
+    x_t = np.asarray(
+        [(SHIFT * int(v)) % P for v in _x_table(log_big)], dtype=np.uint64
+    )
+    x = gl.from_u64(x_t)
+
+    apows = _ext_powers_device(alpha, max(C1, C2) + 1)
+
+    def batch_sum(lde: GF, opens: GF2, k: int):
+        ap = apows[:k]
+        # sum_i a^i p_i(x): base lde (k, big) weighted by ext powers (k,)
+        acc0 = gl.sum_axis(gl.mul(lde, GF(ap.c0.v[:, None])), 0)
+        acc1 = gl.sum_axis(gl.mul(lde, GF(ap.c1.v[:, None])), 0)
+        # sum_i a^i o_i (ext scalar)
+        o = ext2.sum_axis(ext2.mul(ap, opens), axis=0)
+        return ext2.sub(
+            GF2(acc0, acc1),
+            GF2(gl.broadcast_to(o.c0, (big,)), gl.broadcast_to(o.c1, (big,))),
+        )
+
+    num1 = batch_sum(all_lde, opens1, C1)
+    num2 = batch_sum(z_lde, opens2, C2)
+
+    xe = GF2(x, gl.zeros((big,)))
+
+    def bscalar(z: GF2):
+        return GF2(
+            gl.broadcast_to(z.c0, (big,)), gl.broadcast_to(z.c1, (big,))
+        )
+
+    inv1 = _ext_inv_device(ext2.sub(xe, bscalar(zeta)))
+    inv2 = _ext_inv_device(ext2.sub(xe, bscalar(gzeta)))
+    q1 = ext2.mul(num1, inv1)
+    q2 = ext2.mul(num2, inv2)
+    shift = apows[C1]
+    q2s = ext2.mul(q2, bscalar(shift))
+    return ext2.add(q1, q2s)
+
+
+

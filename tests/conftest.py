@@ -9,6 +9,8 @@ conftest.py first, so setting env here is sufficient.
 import os
 import sys
 
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence XLA AOT warnings
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # env ships JAX_PLATFORMS=axon (1 real TPU)
