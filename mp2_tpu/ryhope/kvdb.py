@@ -1,0 +1,178 @@
+"""MerkleTreeKvDb: epoch-versioned Merkle tree store with transactional
+updates producing proving workplans.
+
+Role of ryhope's `MerkleTreeKvDb` facade (/root/reference/ryhope/src/lib.rs:
+104-630): every committed transaction
+  1. mutates the tree topology (sbbst append / scapegoat insert-remove),
+  2. re-aggregates payloads bottom-up over the dirtied keys
+     (`NodePayload::aggregate` hook, lib.rs:66-82),
+  3. snapshots the new epoch (epoch-versioned reads: view_at / root_at /
+     lineage_at),
+  4. returns the `UpdateTree` of dirtied lineage — the proving workplan
+     (commit_transaction, lib.rs:567-581).
+
+Backend: in-memory snapshots (the reference's storage::memory equivalent);
+a Postgres-backed storage is a later milestone (storage traits mirrored so
+backends swap underneath).
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass
+from typing import Callable, Dict, Generic, List, Optional, Tuple, TypeVar
+
+from mp2_tpu.ryhope.updatetree import UpdateTree
+
+K = TypeVar("K")
+V = TypeVar("V")
+
+# aggregate(key, payload, child_payloads: [left, right]) -> new payload
+AggregateFn = Callable[[K, V, List[Optional[V]]], V]
+
+
+@dataclass
+class TreeView(Generic[K, V]):
+    """Read-only projection of the DB at one epoch."""
+
+    tree: object
+    payloads: Dict[K, V]
+    epoch: int
+
+    def root(self) -> Optional[K]:
+        return _tree_root(self.tree)
+
+    def payload(self, key: K) -> V:
+        return self.payloads[key]
+
+    def try_payload(self, key: K) -> Optional[V]:
+        return self.payloads.get(key)
+
+    def children(self, key: K):
+        return self.tree.children(key)
+
+    def parent(self, key: K):
+        return self.tree.parent(key)
+
+    def lineage(self, key: K) -> List[K]:
+        return self.tree.ascendance(key)
+
+    def size(self) -> int:
+        return self.tree.size()
+
+    def keys(self):
+        return list(self.tree.keys())
+
+
+def _tree_root(tree):
+    if hasattr(tree, "root_inner"):
+        return tree.root() if tree.size() else None
+    return tree.root
+
+
+class Transaction(Generic[K, V]):
+    def __init__(self):
+        self.stores: Dict[K, V] = {}
+        self.removals: List[K] = []
+
+    def store(self, key: K, payload: V):
+        self.stores[key] = payload
+
+    def remove(self, key: K):
+        self.removals.append(key)
+
+
+class MerkleTreeKvDb(Generic[K, V]):
+    def __init__(self, tree, aggregate: AggregateFn):
+        self.tree = tree
+        self.aggregate = aggregate
+        self.payloads: Dict[K, V] = {}
+        self.epoch = -1
+        self._snapshots: List[Tuple[object, Dict[K, V]]] = []
+
+    # ------------------------------------------------------------- reads
+    def current_view(self) -> TreeView:
+        return TreeView(self.tree, self.payloads, self.epoch)
+
+    def view_at(self, epoch: int) -> TreeView:
+        assert 0 <= epoch <= self.epoch
+        t, p = self._snapshots[epoch]
+        return TreeView(t, p, epoch)
+
+    def root(self) -> Optional[K]:
+        return _tree_root(self.tree)
+
+    def root_at(self, epoch: int) -> Optional[K]:
+        return self.view_at(epoch).root()
+
+    def root_payload(self) -> Optional[V]:
+        r = self.root()
+        return None if r is None else self.payloads[r]
+
+    def payload(self, key: K) -> V:
+        return self.payloads[key]
+
+    def try_payload(self, key: K) -> Optional[V]:
+        return self.payloads.get(key)
+
+    def lineage_at(self, key: K, epoch: int) -> List[K]:
+        return self.view_at(epoch).lineage(key)
+
+    def size(self) -> int:
+        return self.tree.size()
+
+    def contains(self, key: K) -> bool:
+        return key in self.payloads
+
+    # ------------------------------------------------------------- writes
+    def in_transaction(self, fn: Callable[[Transaction], None]) -> UpdateTree:
+        tx = Transaction()
+        fn(tx)
+        return self._commit(tx)
+
+    def _commit(self, tx: Transaction) -> UpdateTree:
+        dirtied: set = set()
+        for key in tx.removals:
+            assert key in self.payloads, f"removing unknown key {key}"
+            del self.payloads[key]
+            dirtied.update(self.tree.remove(key))
+            dirtied.discard(key)
+        for key, payload in tx.stores.items():
+            if key not in self.payloads:
+                path = self.tree.insert(key)
+                dirtied.update(path)
+            else:
+                dirtied.update(self.tree.ascendance(key))
+            self.payloads[key] = payload
+        # removals may have dirtied keys later removed or re-added; keep only
+        # keys still in the tree
+        dirtied = {k for k in dirtied if self.tree.contains(k)}
+        # ascendance closure (a dirtied child re-aggregates all ancestors)
+        closure = set()
+        for k in dirtied:
+            closure.update(self.tree.ascendance(k))
+        paths = [self.tree.ascendance(k) for k in sorted(closure, key=repr)]
+        ut = UpdateTree.from_paths(paths)
+        # bottom-up re-aggregation in workplan order
+        for key in ut.into_workplan():
+            l, r = self.tree.children(key)
+            childs = [
+                self.payloads.get(l) if l is not None else None,
+                self.payloads.get(r) if r is not None else None,
+            ]
+            self.payloads[key] = self.aggregate(key, self.payloads[key], childs)
+        # snapshot the epoch
+        self.epoch += 1
+        self._snapshots.append(
+            (copy.deepcopy(self.tree), dict(self.payloads))
+        )
+        return ut
+
+    def rollback_to(self, epoch: int):
+        """Reference: storage/mod.rs:430-480."""
+        assert 0 <= epoch <= self.epoch
+        t, p = self._snapshots[epoch]
+        self.tree = copy.deepcopy(t)
+        self.payloads = dict(p)
+        self.epoch = epoch
+        del self._snapshots[epoch + 1 :]
