@@ -153,14 +153,18 @@ class MerkleTreeKvDb(Generic[K, V]):
             closure.update(self.tree.ascendance(k))
         paths = [self.tree.ascendance(k) for k in sorted(closure, key=repr)]
         ut = UpdateTree.from_paths(paths)
-        # bottom-up re-aggregation in workplan order
+        # bottom-up re-aggregation in workplan order.  Aggregate on a copy:
+        # payload objects are shared with earlier epoch snapshots and must
+        # stay immutable once snapshotted.
         for key in ut.into_workplan():
             l, r = self.tree.children(key)
             childs = [
                 self.payloads.get(l) if l is not None else None,
                 self.payloads.get(r) if r is not None else None,
             ]
-            self.payloads[key] = self.aggregate(key, self.payloads[key], childs)
+            self.payloads[key] = self.aggregate(
+                key, copy.copy(self.payloads[key]), childs
+            )
         # snapshot the epoch
         self.epoch += 1
         self._snapshots.append(
