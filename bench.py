@@ -1,0 +1,86 @@
+"""Benchmark the prover hot kernels on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Primary metric: 2^22 Goldilocks NTT wall time (BASELINE.md north-star).
+The reference publishes no numbers (SURVEY.md §6), so vs_baseline is the
+ratio against the driver-set target of 10 ms for a 2^22 NTT (>1 = faster
+than target).  Extra measurements (Poseidon2 throughput) ride in "extra".
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mp2_tpu.field import goldilocks as gl
+from mp2_tpu.field.goldilocks import GF
+from mp2_tpu.hash import poseidon2 as p2
+from mp2_tpu.prover import ntt
+
+LOG_N = int(os.environ.get("BENCH_LOG_N", "22"))
+POSEIDON_BATCH = int(os.environ.get("BENCH_P2_BATCH", str(1 << 16)))
+TARGET_NTT_MS = 10.0
+
+
+def _sync(out):
+    # device_get of one element forces execution; block_until_ready alone is
+    # not reliable through the axon tunnel backend.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    leaf.block_until_ready()
+    np.asarray(jax.device_get(leaf[..., :1]))
+
+
+def _bench(fn, args, iters=5):
+    _sync(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    dev = jax.devices()[0]
+    n = 1 << LOG_N
+    rng = np.random.default_rng(0)
+
+    x = GF(jnp.asarray(rng.integers(0, gl.P, size=(n,), dtype=np.uint64)))
+    ntt_fn = jax.jit(lambda v: ntt.ntt(v))
+    ntt_s = _bench(ntt_fn, (x,), iters=3)
+    ntt_ms = ntt_s * 1e3
+
+    states = GF(
+        jnp.asarray(
+            rng.integers(0, gl.P, size=(POSEIDON_BATCH, 12), dtype=np.uint64)
+        )
+    )
+    p2_s = _bench(p2.permute, (states,), iters=3)
+    perms_per_s = POSEIDON_BATCH / p2_s
+
+    print(
+        json.dumps(
+            {
+                "metric": f"goldilocks_ntt_2pow{LOG_N}_ms",
+                "value": round(ntt_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(TARGET_NTT_MS / ntt_ms, 3),
+                "extra": {
+                    "device": str(dev),
+                    "poseidon2_perms_per_s": int(perms_per_s),
+                    "poseidon2_batch": POSEIDON_BATCH,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
