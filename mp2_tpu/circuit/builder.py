@@ -215,14 +215,12 @@ class CircuitBuilder:
             vals[0] = p2h._sbox((vals[0] + rc[0]) % P)
             return p2h._internal_linear(vals)
 
-        # one generator per output lane, sharing one round computation
-        cache: Dict[int, List[int]] = {}
-
+        # One generator per output lane.  Each recomputes the round from the
+        # input cells (cheap host ints) — deliberately stateless so one
+        # circuit instance can generate witnesses for many proofs.
         def lane(i):
             def g(read, i=i):
-                if "v" not in cache:
-                    cache["v"] = gen_round(read)
-                return cache["v"][i]
+                return gen_round(read)[i]
 
             return g
 

@@ -259,7 +259,13 @@ class TableIndexer:
 
     def _prove_tree_plan(self, plan: UpdateTree, db, prefix: str, block: int):
         """Walk the workplan (children before parents), emitting one proof
-        per dirtied node — the reduce phase of the map-reduce."""
+        per dirtied node — the reduce phase of the map-reduce.
+
+        PI layout matches the TP2 tree_node circuit:
+          h(4) || id || value(8) || min(8) || max(8) || lh(4) || rh(4) || inner(4)
+        """
+        from mp2_tpu.utils.u256 import u256_to_fields
+
         wp = plan.into_workplan()
         for key in wp:
             l, r = db.tree.children(key)
@@ -280,8 +286,28 @@ class TableIndexer:
                 if c is not None and (prefix, block, c) in self.proofs
             ]
             payload = db.payload(key)
+            lh = list(db.payload(l).hash) if l is not None else list(D.EMPTY_HASH)
+            rh = list(db.payload(r).hash) if r is not None else list(D.EMPTY_HASH)
+            if prefix == "rows":
+                ident = payload.secondary.identifier
+                value = u256_to_fields(payload.secondary.value)
+                inner = list(payload.cells.root_hash)
+            else:
+                ident = payload.index_id
+                value = u256_to_fields(payload.block_number)
+                inner = list(payload.rows_hash)
+            pis = (
+                list(payload.hash)
+                + [ident]
+                + value
+                + u256_to_fields(payload.min_value)
+                + u256_to_fields(payload.max_value)
+                + lh
+                + rh
+                + inner
+            )
             self.proofs[(prefix, block, key)] = self.framework.generate_proof(
-                name, children, list(payload.hash)
+                name, children, pis
             )
 
     # -- query --------------------------------------------------------------
