@@ -26,7 +26,7 @@ from mp2_tpu.hash import poseidon2 as p2
 from mp2_tpu.prover import ntt
 
 LOG_N = int(os.environ.get("BENCH_LOG_N", "22"))
-POSEIDON_BATCH = int(os.environ.get("BENCH_P2_BATCH", str(1 << 16)))
+POSEIDON_BATCH = int(os.environ.get("BENCH_P2_BATCH", str(1 << 18)))
 TARGET_NTT_MS = 10.0
 
 

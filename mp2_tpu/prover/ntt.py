@@ -68,6 +68,11 @@ def _stage_twiddles(log_n: int, inverse: bool):
 import jax
 from functools import partial
 
+# Above this size, use the four-step (Bailey) decomposition: two passes of
+# small contiguous transforms + a twiddle pass + transposes — far friendlier
+# to VMEM tiling than 22 strided butterfly stages over HBM.
+_FOUR_STEP_MIN_LOG = 16
+
 
 @partial(jax.jit, static_argnames=("inverse",))
 def ntt(x: GF, inverse: bool = False) -> GF:
@@ -75,6 +80,14 @@ def ntt(x: GF, inverse: bool = False) -> GF:
     n = x.shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
+    if log_n >= _FOUR_STEP_MIN_LOG:
+        return _ntt_four_step(x, inverse)
+    return _ntt_small(x, inverse)
+
+
+def _ntt_small(x: GF, inverse: bool) -> GF:
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
     if n == 1:
         return x
     batch = x.shape[:-1]
@@ -92,6 +105,61 @@ def ntt(x: GF, inverse: bool = False) -> GF:
     if inverse:
         x = gl.mul_const(x, pow(n, P - 2, P))
     return x
+
+
+@lru_cache(maxsize=None)
+def _four_step_twiddles(log_n: int, inverse: bool) -> np.ndarray:
+    """w^(i*j) table of shape (n1, n2) for the middle twiddle pass."""
+    log1 = log_n // 2
+    log2 = log_n - log1
+    n1, n2 = 1 << log1, 1 << log2
+    w = _root_of_unity(log_n)
+    if inverse:
+        w = pow(w, P - 2, P)
+    out = np.empty((n1, n2), dtype=np.uint64)
+    row = [1] * n2
+    for i in range(n1):
+        if i == 0:
+            row = [1] * n2
+        else:
+            wi = pow(w, i, P)
+            cur = 1
+            row = []
+            for j in range(n2):
+                row.append(cur)
+                cur = cur * wi % P
+        out[i] = row
+    return out
+
+
+def _ntt_four_step(x: GF, inverse: bool) -> GF:
+    """Bailey: view n = n1*n2 as (n1, n2) row-major.
+    y[k1 + n1*k2] = sum_{j1,j2} x[j1*n2 + j2] w^((j1*n2+j2)(k1 + n1 k2))
+    = NTT_j2( w^(j2 k1) * NTT_j1(x[:, j2])[k1] )[k2]   — i.e.
+      1) transform the columns (axis 0), 2) twiddle by w^(k1*j2),
+      3) transform the rows (axis 1), 4) read out transposed."""
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    log1 = log_n // 2
+    log2 = log_n - log1
+    n1, n2 = 1 << log1, 1 << log2
+    batch = x.shape[:-1]
+
+    m = x.reshape(batch + (n1, n2))
+    # 1) column transforms: move axis to the end
+    mt = gl.transpose(m.reshape((-1, n1, n2)), (0, 2, 1))  # (B, n2, n1)
+    a = _ntt_small(mt, inverse)  # transforms of length n1
+    # 2) twiddle: a[b, j2, k1] *= w^(k1*j2)
+    tw = gl.from_u64(_four_step_twiddles(log_n, inverse))  # (n1, n2)
+    a = gl.mul(a, gl.transpose(tw))  # (n2, n1) broadcast over batch
+    # 3) row transforms of length n2: a currently (B, n2, k1) — transform
+    # over j2, so transpose to (B, k1=n1, n2)
+    b = gl.transpose(a, (0, 2, 1))
+    c = _ntt_small(b, inverse)  # (B, n1, k2=n2)
+    # 4) output order: y[k1 + n1*k2] -> index (k2 major? k1 + n1*k2) means
+    # reading (k2, k1) row-major: transpose then flatten
+    out = gl.transpose(c, (0, 2, 1)).reshape((-1, n))  # (B, n2, n1) flat
+    return out.reshape(batch + (n,))
 
 
 def intt(x: GF) -> GF:
