@@ -1,0 +1,40 @@
+"""Benchmarker CSV + inspect tree rendering."""
+
+import os
+import tempfile
+
+from mp2_tpu.models.pipeline import MappingTableConfig, TableIndexer, make_chain
+from mp2_tpu.tools.inspect import describe_epochs, render_tree
+from mp2_tpu.utils.benchmarker import Benchmarker
+
+
+def test_benchmarker_csv():
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench.csv")
+        b = Benchmarker(path)
+        with b.bench("leaf_proof"):
+            sum(range(1000))
+        with b.bench("leaf_proof"):
+            sum(range(1000))
+        with b.bench("aggregation"):
+            pass
+        s = b.summary()
+        assert s["leaf_proof"][0] == 2
+        rows = open(path).read().strip().splitlines()
+        assert rows[0] == "name,time_ms"
+        assert len(rows) == 4
+
+
+def test_inspect_render():
+    cfg = MappingTableConfig(bytes(range(20)), 1, slot=3)
+    chain = make_chain(cfg, [{b"\x01": 10, b"\x02": 20}, {b"\x01": 30, b"\x02": 20}])
+    idx = TableIndexer(cfg)
+    for blk in chain:
+        idx.apply_block(blk)
+    out = render_tree(idx.block_db)
+    assert "* 100" in out or "* 101" in out
+    assert "epoch=1" in out
+    out0 = render_tree(idx.block_db, epoch=0)
+    assert "size=1" in out0
+    eps = describe_epochs(idx.rows_db)
+    assert "epoch 0" in eps and "epoch 1" in eps
