@@ -69,6 +69,7 @@ class CircuitBuilder:
         self._const_row: Optional[int] = None
         self._const_slot = 0
         self._arith_rows: Dict[Tuple[int, int], Tuple[int, int]] = {}
+        self._gadget_rows: Dict = {}
         self._input_row: Optional[int] = None
         self._input_slot = 0
         self._zero = None
@@ -177,6 +178,61 @@ class CircuitBuilder:
     def add_const(self, a: Target, c: int) -> Target:
         return self._arith_op(1, c, a, self.one(), self.one())
 
+    # ------------------------------------------------------- range/zero ops
+    def decompose_bits(self, t: Target, bits: int) -> List[Target]:
+        """Constrain t = sum b_i 2^i with boolean b_i; returns bit targets
+        (LSB first).  This IS the range check: t < 2^bits."""
+        key = ("decomp", bits)
+        num_ops = self.config.num_wires // (bits + 1)
+        assert num_ops >= 1, f"{bits}-bit decompose does not fit the row"
+        row, slot = self._gadget_rows.get(key, (None, num_ops))
+        if row is None or slot >= num_ops:
+            row = self.add_row(G.BitDecomposeGate(num_ops, bits))
+            slot = 0
+        self._gadget_rows[key] = (row, slot + 1)
+        gate: G.BitDecomposeGate = self.rows[row].gate
+        vw, bit_ws = gate.wires_for_op(slot)
+        self.connect((row, vw), t)
+        bit_targets = [(row, bw) for bw in bit_ws]
+        for k, bt in enumerate(bit_targets):
+            self.add_generator(
+                bt, lambda read, t=t, k=k: (read(t) >> k) & 1
+            )
+        return bit_targets
+
+    def assert_u32(self, t: Target):
+        self.decompose_bits(t, 32)
+
+    def is_zero(self, t: Target) -> Target:
+        """Returns a boolean target: 1 iff t == 0."""
+        key = ("is_zero",)
+        num_ops = self.config.num_wires // 3
+        row, slot = self._gadget_rows.get(key, (None, num_ops))
+        if row is None or slot >= num_ops:
+            row = self.add_row(G.IsZeroGate(num_ops))
+            slot = 0
+        self._gadget_rows[key] = (row, slot + 1)
+        gate: G.IsZeroGate = self.rows[row].gate
+        xw, invw, ow = gate.wires_for_op(slot)
+        self.connect((row, xw), t)
+        self.add_generator(
+            (row, invw), lambda read, t=t: pow(read(t), P - 2, P) if read(t) else 0
+        )
+        self.add_generator(
+            (row, ow), lambda read, t=t: 1 if read(t) == 0 else 0
+        )
+        return (row, ow)
+
+    def is_equal(self, a: Target, b: Target) -> Target:
+        return self.is_zero(self.sub(a, b))
+
+    def logic_and(self, a: Target, b: Target) -> Target:
+        return self.mul(a, b)
+
+    def logic_not(self, a: Target) -> Target:
+        """For boolean a."""
+        return self._arith_op(P - 1, 1, a, self.one(), self.one())
+
     # ------------------------------------------------------------- poseidon2
     def poseidon2_permute(self, state: Sequence[Target]) -> List[Target]:
         assert len(state) == WIDTH
@@ -259,6 +315,16 @@ class CircuitBuilder:
     # ------------------------------------------------------------- finalize
     def build(self) -> "CircuitData":
         from mp2_tpu.prover.prove import CircuitData  # cycle-free import
+
+        # pad unused is_zero slots: their constraint needs out = 1 when the
+        # (defaulted-to-zero) input is zero
+        key = ("is_zero",)
+        if key in self._gadget_rows:
+            row, slot = self._gadget_rows[key]
+            gate = self.rows[row].gate
+            for s in range(slot, gate.num_ops):
+                _, _, ow = gate.wires_for_op(s)
+                self.add_generator((row, ow), lambda read: 1)
 
         # in-circuit hash of public inputs, routed into the PI gate
         pi_hash_targets = self.hash_no_pad(self.public_inputs)

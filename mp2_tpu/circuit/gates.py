@@ -142,6 +142,72 @@ def _internal_linear_alg(alg, st):
     ]
 
 
+class BitDecomposeGate(Gate):
+    """num_ops values decomposed into `bits` boolean wires each (the range
+    check primitive; role of the reference's U32RangeCheckGate).
+
+    Wires per op: [value, b_0, ..., b_{bits-1}] (b_0 = LSB).
+    Constraints: each bit boolean (b^2 - b), value = sum b_i 2^i.
+    """
+
+    name_prefix = "bit_decompose"
+    degree = 2
+
+    def __init__(self, num_ops: int, bits: int):
+        self.num_ops = num_ops
+        self.bits = bits
+        self.name = f"{self.name_prefix}{bits}"
+
+    def wires_for_op(self, i: int):
+        base = (self.bits + 1) * i
+        return base, list(range(base + 1, base + 1 + self.bits))
+
+    def num_constraints(self):
+        return self.num_ops * (self.bits + 1)
+
+    def constraints(self, alg, wires, constants, extras):
+        out = []
+        for i in range(self.num_ops):
+            v, bit_idx = self.wires_for_op(i)
+            acc = None
+            for k, bi in enumerate(bit_idx):
+                b = wires[bi]
+                out.append(alg.sub(alg.mul(b, b), b))  # booleanity
+                term = alg.mul_const(b, 1 << k)
+                acc = term if acc is None else alg.add(acc, term)
+            out.append(alg.sub(wires[v], acc))
+        return out
+
+
+class IsZeroGate(Gate):
+    """num_ops of: out = (x == 0), using a witness pseudo-inverse.
+
+    Wires per op: [x, inv, out]; constraints: x*inv + out - 1 = 0 and
+    x*out = 0 (so out=1 iff x=0, out=0 with inv=x^-1 otherwise).
+    """
+
+    name = "is_zero"
+    degree = 2
+
+    def __init__(self, num_ops: int):
+        self.num_ops = num_ops
+
+    def wires_for_op(self, i: int):
+        return 3 * i, 3 * i + 1, 3 * i + 2
+
+    def num_constraints(self):
+        return 2 * self.num_ops
+
+    def constraints(self, alg, wires, constants, extras):
+        out = []
+        for i in range(self.num_ops):
+            x, inv, o = (wires[j] for j in self.wires_for_op(i))
+            t = alg.add(alg.mul(x, inv), o)
+            out.append(alg.sub(t, alg.constant(1)))
+            out.append(alg.mul(x, o))
+        return out
+
+
 class Poseidon2FullRoundGate(Gate):
     """One external Poseidon2 round: out = M_E((in + rc)^7).
 

@@ -33,6 +33,8 @@ _GATE_REGISTRY = {
     "PublicInputGate": lambda kw: G.PublicInputGate(),
     "Poseidon2FullRoundGate": lambda kw: G.Poseidon2FullRoundGate(kw["first"]),
     "Poseidon2PartialRoundGate": lambda kw: G.Poseidon2PartialRoundGate(),
+    "BitDecomposeGate": lambda kw: G.BitDecomposeGate(kw["num_ops"], kw["bits"]),
+    "IsZeroGate": lambda kw: G.IsZeroGate(kw["num_ops"]),
 }
 
 
@@ -43,6 +45,8 @@ def _gate_spec(gate) -> Tuple[str, Dict]:
         kw["num_ops"] = gate.num_ops
     if hasattr(gate, "first"):
         kw["first"] = gate.first
+    if hasattr(gate, "bits"):
+        kw["bits"] = gate.bits
     return cls, kw
 
 
