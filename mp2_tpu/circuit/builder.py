@@ -233,6 +233,15 @@ class CircuitBuilder:
         """For boolean a."""
         return self._arith_op(P - 1, 1, a, self.one(), self.one())
 
+    def logic_or(self, a: Target, b: Target) -> Target:
+        """a + b - a*b (booleans)."""
+        return self.sub(self.add(a, b), self.mul(a, b))
+
+    def logic_xor(self, a: Target, b: Target) -> Target:
+        """a + b - 2ab (booleans)."""
+        ab2 = self._arith_op(2, 0, a, b, self.zero())
+        return self.sub(self.add(a, b), ab2)
+
     # ------------------------------------------------------------- poseidon2
     def poseidon2_permute(self, state: Sequence[Target]) -> List[Target]:
         assert len(state) == WIDTH

@@ -54,10 +54,13 @@ def u256_equal(b: CircuitBuilder, x: U256Target, y: U256Target) -> Target:
     return acc
 
 
-def u256_less_than(b: CircuitBuilder, x: U256Target, y: U256Target) -> Target:
-    """x < y as a boolean target, via the borrow chain
+def u256_sub(
+    b: CircuitBuilder, x: U256Target, y: U256Target
+) -> Tuple[U256Target, Target]:
+    """(x - y) mod 2^256 and the borrow-out bit, via the borrow chain
     d_i = x_i - y_i - borrow_in + 2^32 * borrow_out, d_i in [0, 2^32)."""
     borrow = b.zero()
+    out: List[Target] = [None] * NUM_LIMBS
     # walk LSB -> MSB (limbs are big-endian)
     for i in range(NUM_LIMBS - 1, -1, -1):
         xi, yi = x.limbs[i], y.limbs[i]
@@ -77,8 +80,28 @@ def u256_less_than(b: CircuitBuilder, x: U256Target, y: U256Target) -> Target:
         lhs = b.add(lhs, b.mul_const(TWO32 % P, nb))
         lhs = b.sub(lhs, d)
         b.connect(lhs, b.zero())
+        out[i] = d
         borrow = nb
-    return borrow
+    return U256Target(tuple(out)), borrow
+
+
+def u256_less_than(b: CircuitBuilder, x: U256Target, y: U256Target) -> Target:
+    """x < y as a boolean target (borrow-out of x - y)."""
+    return u256_sub(b, x, y)[1]
+
+
+def u256_is_zero(b: CircuitBuilder, x: U256Target) -> Target:
+    acc = None
+    for xi in x.limbs:
+        z = b.is_zero(xi)
+        acc = z if acc is None else b.logic_and(acc, z)
+    return acc
+
+
+def u256_from_bool(b: CircuitBuilder, bit: Target) -> U256Target:
+    """Embed a boolean target as a u256 (value 0 or 1)."""
+    z = b.zero()
+    return U256Target(tuple([z] * (NUM_LIMBS - 1) + [bit]))
 
 
 def u256_lte(b: CircuitBuilder, x: U256Target, y: U256Target) -> Target:
