@@ -118,6 +118,20 @@ class MerkleTreeKvDb(Generic[K, V]):
     def lineage_at(self, key: K, epoch: int) -> List[K]:
         return self.view_at(epoch).lineage(key)
 
+    def wide_lineage_between(self, epoch: int, keys) -> Dict[K, V]:
+        """Bulk-fetch the union of the ascendance paths of `keys` at an
+        epoch, with payloads (reference: ryhope lib.rs:435 — the query
+        planner's one-shot touched-nodes fetch)."""
+        view = self.view_at(epoch)
+        out: Dict[K, V] = {}
+        for k in keys:
+            if not view.tree.contains(k):
+                continue
+            for a in view.lineage(k):
+                if a not in out:
+                    out[a] = view.payload(a)
+        return out
+
     def size(self) -> int:
         return self.tree.size()
 
