@@ -85,12 +85,43 @@ def ntt(x: GF, inverse: bool = False) -> GF:
     return _ntt_small(x, inverse)
 
 
+_pallas_ntt_state = {"checked": False, "ok": False}
+
+
+def _pallas_ntt_available() -> bool:
+    import os
+
+    if _pallas_ntt_state["checked"]:
+        return _pallas_ntt_state["ok"]
+    _pallas_ntt_state["checked"] = True
+    if os.environ.get("MP2_NO_PALLAS"):
+        _pallas_ntt_state["ok"] = False
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "cpu"
+    _pallas_ntt_state["ok"] = plat not in ("cpu",)
+    return _pallas_ntt_state["ok"]
+
+
 def _ntt_small(x: GF, inverse: bool) -> GF:
     n = x.shape[-1]
     log_n = n.bit_length() - 1
     if n == 1:
         return x
     batch = x.shape[:-1]
+
+    if n >= 512 and _pallas_ntt_available():
+        try:
+            from mp2_tpu.ops.ntt_pallas import ntt_stages_bitrev_input
+
+            xr = gl.take(x, _bitrev_indices(log_n), axis=-1)
+            flat = xr.v.reshape(-1, n)
+            out = ntt_stages_bitrev_input(flat, inverse)
+            return GF(out.reshape(batch + (n,)))
+        except Exception:
+            _pallas_ntt_state["ok"] = False  # fall back permanently
 
     x = gl.take(x, _bitrev_indices(log_n), axis=-1)
     for s in range(1, log_n + 1):
