@@ -90,6 +90,7 @@ class CircuitPis:
     is_aggregation: bool
     limit: Optional[int]
     offset: Optional[int]
+    order_by: Optional[tuple] = None  # (output_index, "ASC"|"DESC")
 
 
 class _OpBuilder:
@@ -263,6 +264,18 @@ def assemble(query: ast.Select, table: ZkTable) -> CircuitPis:
         min_spec=bound_exprs.get("min", MIN_BLOCK_PLACEHOLDER),
         max_spec=bound_exprs.get("max", MAX_BLOCK_PLACEHOLDER),
     )
+    order_by = None
+    if query.order_by is not None:
+        if is_aggregation:
+            raise ValidationError("ORDER BY applies only to tabular SELECT")
+        ob_expr, direction = query.order_by
+        # ORDER BY must reference a selected output item
+        for j, item in enumerate(query.items):
+            if item == ob_expr:
+                order_by = (j, direction)
+                break
+        else:
+            raise ValidationError("ORDER BY must match a selected expression")
     names = list(dict.fromkeys(rb.placeholders))
     return CircuitPis(
         predicate_ops=predicate_ops,
@@ -272,6 +285,7 @@ def assemble(query: ast.Select, table: ZkTable) -> CircuitPis:
         is_aggregation=is_aggregation,
         limit=query.limit,
         offset=query.offset,
+        order_by=order_by,
     )
 
 

@@ -98,6 +98,9 @@ def execute_query(
         rows = [aggregate_rows(pis.result, [m[2] for m in matching])]
     else:
         rows = [m[2] for m in matching]
+        if pis.order_by is not None:
+            j, direction = pis.order_by
+            rows = sorted(rows, key=lambda r: r[j], reverse=(direction == "DESC"))
         if pis.result.distinct:
             seen = set()
             uniq = []

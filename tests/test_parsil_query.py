@@ -153,3 +153,20 @@ def test_chunking_plan():
     res = execute_query(pis, _table_data(), _ph())
     assert sum(len(c) for c in res.chunks) == 5
     assert all(len(c) <= 3 for c in res.chunks)
+
+
+def test_order_by():
+    pis = parse_and_assemble(
+        "SELECT value FROM t WHERE block >= $MIN_BLOCK AND block <= $MAX_BLOCK "
+        "ORDER BY value DESC LIMIT 3",
+        TABLE,
+    )
+    res = execute_query(pis, _table_data(), _ph())
+    assert res.rows == [[50], [40], [30]]
+    pis2 = parse_and_assemble(
+        "SELECT value FROM t WHERE block >= $MIN_BLOCK AND block <= $MAX_BLOCK "
+        "ORDER BY value",
+        TABLE,
+    )
+    res2 = execute_query(pis2, _table_data(), _ph())
+    assert res2.rows == [[10], [20], [30], [40], [50]]
