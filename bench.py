@@ -65,6 +65,40 @@ def main():
     p2_s = _bench(p2.permute, (states,), iters=3)
     perms_per_s = POSEIDON_BATCH / p2_s
 
+    extra = {
+        "device": str(dev),
+        "poseidon2_perms_per_s": int(perms_per_s),
+        "poseidon2_batch": POSEIDON_BATCH,
+    }
+
+    if os.environ.get("BENCH_PROOFS"):
+        # repeat-prove throughput of the verifiable-DB tree-node circuit
+        # (map-phase pattern: one compiled circuit, many witnesses)
+        from mp2_tpu.recursion.framework import RecursiveCircuits
+        from mp2_tpu.recursion.tp2_backend import TP2Backend
+        from mp2_tpu.utils.u256 import u256_to_fields
+        from mp2_tpu.vdb import digests as D
+
+        fw = RecursiveCircuits(["rows_leaf"], backend=TP2Backend())
+        empty = list(D.EMPTY_HASH)
+        inner = list(D.EMPTY_HASH)
+
+        def mk_pis(v):
+            h = D.row_node_hash(None, None, v, v, 42, v, tuple(inner))
+            return (
+                list(h) + [42] + u256_to_fields(v) + u256_to_fields(v)
+                + u256_to_fields(v) + empty + empty + inner
+            )
+
+        fw.generate_proof("rows_leaf", [], mk_pis(1))  # warm compile
+        t0 = time.perf_counter()
+        iters = 5
+        for i in range(iters):
+            fw.generate_proof("rows_leaf", [], mk_pis(i + 2))
+        extra["tree_node_proofs_per_s"] = round(
+            iters / (time.perf_counter() - t0), 3
+        )
+
     print(
         json.dumps(
             {
@@ -72,11 +106,7 @@ def main():
                 "value": round(ntt_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(TARGET_NTT_MS / ntt_ms, 3),
-                "extra": {
-                    "device": str(dev),
-                    "poseidon2_perms_per_s": int(perms_per_s),
-                    "poseidon2_batch": POSEIDON_BATCH,
-                },
+                "extra": extra,
             }
         )
     )

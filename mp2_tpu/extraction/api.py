@@ -202,6 +202,33 @@ def extract_contract(
 
 
 # ---------------------------------------------------------------------------
+# length extraction
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LengthExtractionOutput:
+    """length_extraction PIs: the length-slot value + storage-trie binding
+    (role of mp2-v1/src/length_extraction: proves a 'length slot' so
+    final extraction can check completeness n == length)."""
+
+    node_hash: bytes  # storage trie root
+    slot: int
+    length: int
+    metadata_digest: Point
+
+
+def extract_length(trie: MPT, slot: int, location: bytes) -> LengthExtractionOutput:
+    proof = trie.get_proof(location)
+    value_rlp = verify_proof(trie.root_hash(), location, proof)
+    length = int.from_bytes(rlp.decode(value_rlp), "big")
+    dm = p2h.map_to_curve_point([slot, length & 0xFFFFFFFF])
+    return LengthExtractionOutput(
+        node_hash=trie.root_hash(), slot=slot, length=length, metadata_digest=dm
+    )
+
+
+# ---------------------------------------------------------------------------
 # final extraction
 # ---------------------------------------------------------------------------
 
@@ -226,8 +253,9 @@ def final_extraction(
     storage_trie_root: bytes,
     state_trie_root: bytes,
 ) -> FinalExtractionOutput:
-    """The reduce-phase join: storage root of the values proof must equal the
-    contract's storage root; the state root must be the block's."""
+    """The reduce-phase join (Simple variant): storage root of the values
+    proof must equal the contract's storage root; the state root must be the
+    block's."""
     assert values_out.node_hash == contract_out.storage_root == storage_trie_root, (
         "values proof root != contract storage root"
     )
@@ -240,4 +268,34 @@ def final_extraction(
         block_number=block_out.block_number,
         values_digest=values_out.values_digest,
         metadata_digest=dm,
+    )
+
+
+def final_extraction_lengthed(
+    block_out: BlockExtractionOutput,
+    contract_out: ContractExtractionOutput,
+    values_out: ValuesExtractionOutput,
+    length_out: LengthExtractionOutput,
+    storage_trie_root: bytes,
+    state_trie_root: bytes,
+) -> FinalExtractionOutput:
+    """Lengthed variant (final_extraction/api.rs): additionally checks
+    extraction COMPLETENESS — the number of extracted leaves must equal the
+    on-chain length-slot value."""
+    assert length_out.node_hash == storage_trie_root, (
+        "length proof is not over the same storage trie"
+    )
+    assert values_out.n_leaves == length_out.length, (
+        f"incomplete extraction: {values_out.n_leaves} leaves != "
+        f"length slot {length_out.length}"
+    )
+    out = final_extraction(
+        block_out, contract_out, values_out, storage_trie_root, state_trie_root
+    )
+    return FinalExtractionOutput(
+        block_hash=out.block_hash,
+        prev_block_hash=out.prev_block_hash,
+        block_number=out.block_number,
+        values_digest=out.values_digest,
+        metadata_digest=out.metadata_digest + length_out.metadata_digest,
     )

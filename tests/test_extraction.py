@@ -158,3 +158,47 @@ def test_end_to_end_extraction_join():
         assert False
     except AssertionError:
         pass
+
+
+def test_lengthed_extraction_completeness():
+    from mp2_tpu.extraction.api import extract_length, final_extraction_lengthed
+
+    slot, length_slot = 7, 8
+    key_id = V.identifier_for_mapping_key_column(slot, ADDR, CHAIN_ID)
+    val_id = V.identifier_for_value_column(slot, 0, 256, 0, ADDR, CHAIN_ID)
+    col = simple_column(slot, val_id)
+    keys = [b"\x01", b"\x02", b"\x03"]
+    slots = [(SK.mapping_location(slot, k), int.from_bytes(k, "big") * 10) for k in keys]
+    len_loc = SK.simple_slot_location(length_slot)
+    trie = _storage_trie(slots + [(len_loc, len(keys))])
+
+    entries = [
+        SlotEntry(slot, loc, mapping_key=k, key_id=key_id)
+        for (loc, _), k in zip(slots, keys)
+    ]
+    values_out = extract_storage_slots(trie, [col], entries)
+    length_out = extract_length(trie, length_slot, len_loc)
+    assert length_out.length == 3 == values_out.n_leaves
+
+    state = MPT(secure=True)
+    account = rlp.encode([b"\x01", b"\x00", trie.root_hash(), keccak256(b"c")])
+    state.insert(ADDR, account)
+    from mp2_tpu.extraction.api import extract_block, extract_contract
+
+    header = _block_header(state.root_hash(), 5, keccak256(b"p"))
+    final = final_extraction_lengthed(
+        extract_block(header), extract_contract(state, ADDR), values_out,
+        length_out, trie.root_hash(), state.root_hash(),
+    )
+    assert final.block_number == 5
+
+    # incomplete extraction (one leaf missing) must be rejected
+    partial = extract_storage_slots(trie, [col], entries[:2])
+    try:
+        final_extraction_lengthed(
+            extract_block(header), extract_contract(state, ADDR), partial,
+            length_out, trie.root_hash(), state.root_hash(),
+        )
+        assert False, "incomplete extraction accepted"
+    except AssertionError as e:
+        assert "incomplete" in str(e)
