@@ -81,6 +81,7 @@ class CircuitData:
     _quotient_jit: Callable = None
     _openings_jit: Callable = None
     _combine_jit: Callable = None
+    _zs_jit: Callable = None
 
     # ------------------------------------------------------------------ build
     @staticmethod
@@ -379,9 +380,8 @@ def prove(data: CircuitData, witness: np.ndarray, public_inputs: List[int]) -> P
     betas = [int(gl.to_u64(c)) for c in ch.get_n_challenges(nc)]
     gammas = [int(gl.to_u64(c)) for c in ch.get_n_challenges(nc)]
 
-    # --- permutation columns (host ints; vectorization TODO) ---
-    zs_cols_host = _compute_zs(data, witness, betas, gammas)  # (zcols, n)
-    zs_vals = gl.from_u64(zs_cols_host)
+    # --- permutation columns (device-vectorized) ---
+    zs_vals = _compute_zs(data, witness, betas, gammas)  # (zcols, n)
     zs_coeffs = ntt.intt(zs_vals)
     zs_lde = _lde_from_coeffs(zs_coeffs, rate)
     zs_tree = MerkleTree(_tree_leaves(zs_lde), cap_height=cap_h)
@@ -479,37 +479,104 @@ def prove(data: CircuitData, witness: np.ndarray, public_inputs: List[int]) -> P
     )
 
 
-def _compute_zs(data: CircuitData, witness, betas, gammas) -> np.ndarray:
-    """Z and partial-product columns, host ints.  (zcols, n)."""
+def _compute_zs(data: CircuitData, witness, betas, gammas) -> GF:
+    """Z and partial-product columns, device-vectorized.  Returns (zcols, n).
+
+    Per challenge set: per-cell terms num/den = w + beta*(k_j x_i | sigma) +
+    gamma are built in one shot; chunk products tree-reduce along the wire
+    axis; the running product over rows is a log-depth prefix scan."""
     cfg = data.config
     n, W = data.n, cfg.num_wires
     chunk = cfg.permutation_chunk_size
     n_chunks = -(-W // chunk)
-    g = ntt._root_of_unity(data.log_n)
-    ks = data.k_coeffs
-    out = np.zeros((cfg.zs_partials_cols, n), dtype=np.uint64)
-    for c in range(cfg.num_challenges):
-        beta, gamma = betas[c], gammas[c]
-        base = c * (1 + cfg.num_partial_products)
-        z = 1
-        x = 1
-        for i in range(n):
-            out[base, i] = z
-            # chunk ratios at row i
-            acc = z
-            for t in range(n_chunks):
-                num = den = 1
-                for j in range(t * chunk, min((t + 1) * chunk, W)):
-                    wv = int(witness[i, j])
-                    num = num * ((wv + beta * ks[j] * x + gamma) % P) % P
-                    den = den * ((wv + beta * int(data.sigma_values[i, j]) + gamma) % P) % P
-                acc = acc * num % P * pow(den, P - 2, P) % P
-                if t < n_chunks - 1:
-                    out[base + 1 + t, i] = acc
-            z = acc
-            x = x * g % P
-        assert z == 1, "permutation argument: cyclic product != 1 (copy bug?)"
+    if data._zs_jit is None:
+        data._zs_jit = _make_zs_fn(data)
+    wit = gl.from_u64(witness)  # (n, W)
+    out = data._zs_jit(wit, gl.from_u64(betas), gl.from_u64(gammas))
     return out
+
+
+def _prefix_prod(x: GF) -> GF:
+    """Exclusive prefix product along axis 0 (log-depth, Hillis-Steele)."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        shifted = gl.roll(x, shift, axis=0)
+        mask = (jnp_arange(n) >= shift)[:, None] if x.ndim > 1 else (
+            jnp_arange(n) >= shift
+        )
+        ones = gl.ones(x.shape)
+        x = gl.mul(x, gl.select(mask, shifted, ones))
+        shift *= 2
+    return x
+
+
+def jnp_arange(n):
+    import jax.numpy as jnp
+
+    return jnp.arange(n)
+
+
+def _make_zs_fn(data: CircuitData):
+    cfg = data.config
+    n, W = data.n, cfg.num_wires
+    chunk = cfg.permutation_chunk_size
+    n_chunks = -(-W // chunk)
+    nc = cfg.num_challenges
+    npp = cfg.num_partial_products
+    g = ntt._root_of_unity(data.log_n)
+    x_pows = np.empty(n, dtype=np.uint64)
+    cur = 1
+    for i in range(n):
+        x_pows[i] = cur
+        cur = cur * g % P
+    ks = np.array(data.k_coeffs, dtype=np.uint64)
+    kx_t = np.array(
+        [[int(k) * int(x) % P for k in ks] for x in x_pows], dtype=np.uint64
+    )  # (n, W)
+    sigma_t = data.sigma_values  # (n, W)
+
+    def fn(wit: GF, betas: GF, gammas: GF) -> GF:
+        kx = gl.from_u64(kx_t)
+        sg = gl.from_u64(sigma_t)
+        cols = []
+        for c in range(nc):
+            beta, gamma = betas[c], gammas[c]
+            num = gl.add(gl.add(wit, gl.mul(kx, beta)), gamma)  # (n, W)
+            den = gl.add(gl.add(wit, gl.mul(sg, beta)), gamma)
+
+            def chunk_prod(m):
+                v = m.reshape(n, n_chunks, chunk)
+                while v.shape[-1] > 1:
+                    h = v.shape[-1] // 2
+                    v = gl.mul(v[..., :h], v[..., h : 2 * h])
+                return v.reshape(n, n_chunks)
+
+            nums = chunk_prod(num)
+            dens = chunk_prod(den)
+            dens_inv = gl.inv(dens)
+            ratios = gl.mul(nums, dens_inv)  # (n, n_chunks)
+            # within-row prefix products of the chunk ratios
+            row_pref = ratios
+            shift = 1
+            while shift < n_chunks:
+                shifted = gl.roll(row_pref, shift, axis=-1)
+                mask = jnp_arange(n_chunks) >= shift
+                row_pref = gl.mul(
+                    row_pref, gl.select(mask, shifted, gl.ones(row_pref.shape))
+                )
+                shift *= 2
+            row_full = row_pref[:, n_chunks - 1]  # (n,) full row ratio
+            # Z_i = prod of row ratios before row i (exclusive prefix)
+            incl = _prefix_prod(row_full)  # inclusive prefix
+            z = gl.concat([gl.ones((1,)), incl[: n - 1]], axis=0)
+            # partial products: pp_t(i) = Z_i * row_pref[i, t]
+            pps = gl.mul(row_pref[:, :npp], GF(z.v[:, None]))
+            cols.append(z.reshape(1, n))
+            cols.append(gl.transpose(pps))
+        return gl.concat(cols, axis=0)
+
+    return jax.jit(fn)
 
 
 def _make_quotient_fn(data: CircuitData):
