@@ -280,12 +280,19 @@ class CircuitBuilder:
             vals[0] = p2h._sbox((vals[0] + rc[0]) % P)
             return p2h._internal_linear(vals)
 
-        # One generator per output lane.  Each recomputes the round from the
-        # input cells (cheap host ints) — deliberately stateless so one
-        # circuit instance can generate witnesses for many proofs.
+        # One generator per output lane.  The round is computed once per
+        # witness generation, memoized on the per-generation `read` closure
+        # (a fresh object each generate_witness call, so circuits stay
+        # reusable across proofs).
         def lane(i):
-            def g(read, i=i):
-                return gen_round(read)[i]
+            def g(read, i=i, rowkey=row):
+                cache = getattr(read, "_p2cache", None)
+                if cache is None:
+                    cache = {}
+                    read._p2cache = cache
+                if rowkey not in cache:
+                    cache[rowkey] = gen_round(read)
+                return cache[rowkey][i]
 
             return g
 

@@ -158,12 +158,7 @@ def permute_lanes(lanes: List[GF]) -> List[GF]:
     return [out[..., i] for i in range(WIDTH)]
 
 
-def hash_n_to_m_no_pad(inputs: GF, num_outputs: int) -> GF:
-    """Sponge over shape (..., n) -> (..., num_outputs).
-
-    n is static; absorption is overwrite-mode in chunks of RATE with no
-    padding (plonky2 semantics; matches the host model).
-    """
+def _sponge_impl(inputs: GF, num_outputs: int) -> GF:
     n = inputs.shape[-1]
     batch = inputs.shape[:-1]
     state = [gl.zeros(batch) for _ in range(WIDTH)]
@@ -171,14 +166,37 @@ def hash_n_to_m_no_pad(inputs: GF, num_outputs: int) -> GF:
         k = min(RATE, n - i)
         for j in range(k):
             state[j] = inputs[..., i + j]
-        state = permute_lanes(state)
+        state = [s for s in _permute_lanes_list(state)]
     outputs: List[GF] = []
     while True:
         for x in state[:RATE]:
             outputs.append(x)
             if len(outputs) == num_outputs:
                 return gl.stack(outputs, axis=-1)
-        state = permute_lanes(state)
+        state = [s for s in _permute_lanes_list(state)]
+
+
+def _permute_lanes_list(lanes: List[GF]) -> List[GF]:
+    out = permute(gl.stack(lanes, axis=-1))
+    return [out[..., i] for i in range(WIDTH)]
+
+
+_sponge_jit_cache = {}
+
+
+def hash_n_to_m_no_pad(inputs: GF, num_outputs: int) -> GF:
+    """Sponge over shape (..., n) -> (..., num_outputs).
+
+    n is static; absorption is overwrite-mode in chunks of RATE with no
+    padding (plonky2 semantics; matches the host model).  Jitted per input
+    shape so the per-lane absorb slicing traces once.
+    """
+    key = (inputs.v.shape, num_outputs)
+    fn = _sponge_jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda x, m=num_outputs: _sponge_impl(x, m))
+        _sponge_jit_cache[key] = fn
+    return fn(inputs)
 
 
 def hash_no_pad(inputs: GF) -> GF:
