@@ -13,8 +13,9 @@ stages).  The witness-driven universal variant is the planned next step once
 the in-circuit verifier lands, restoring the fixed-VK property across
 queries.
 
-Supported in-circuit ops: ADD, SUB, EQ, NE, LT, GT, LE, GE, AND, OR, NOT,
-XOR (MUL/DIV/MOD pending a u256 mul gadget).
+Supported in-circuit ops: the full universal-circuit set — ADD, SUB, MUL,
+DIV, MOD (witnessed quotient/remainder), EQ, NE, LT, GT, LE, GE, AND, OR,
+NOT, XOR.
 
 Public inputs: [predicate_bit] || output values (8 limbs each) ||
 placeholder values (8 limbs each, bound by the verifier to the claimed
@@ -33,10 +34,12 @@ from mp2_tpu.circuit.gadgets.u256 import (
     set_u256,
     u256_add,
     u256_constant,
+    u256_div_mod,
     u256_equal,
     u256_from_bool,
     u256_is_zero,
     u256_less_than,
+    u256_mul,
     u256_sub,
 )
 from mp2_tpu.prover.config import CircuitConfig, test_config
@@ -45,9 +48,9 @@ from mp2_tpu.utils.u256 import u256_from_fields
 from mp2_tpu.vdb.query.ops import BasicOperation, Operand, Operation
 
 _SUPPORTED = {
-    Operation.ADD, Operation.SUB, Operation.EQ, Operation.NE, Operation.LT,
-    Operation.GT, Operation.LE, Operation.GE, Operation.AND, Operation.OR,
-    Operation.NOT, Operation.XOR,
+    Operation.ADD, Operation.SUB, Operation.MUL, Operation.DIV, Operation.MOD,
+    Operation.EQ, Operation.NE, Operation.LT, Operation.GT, Operation.LE,
+    Operation.GE, Operation.AND, Operation.OR, Operation.NOT, Operation.XOR,
 }
 
 
@@ -123,6 +126,12 @@ def build_row_query_circuit(
                 res, _ = u256_add(b, x, y)
             elif o == Operation.SUB:
                 res, _ = u256_sub(b, x, y)
+            elif o == Operation.MUL:
+                res, _ = u256_mul(b, x, y)
+            elif o == Operation.DIV:
+                res, _ = u256_div_mod(b, x, y)
+            elif o == Operation.MOD:
+                _, res = u256_div_mod(b, x, y)
             elif o == Operation.EQ:
                 res = u256_from_bool(b, u256_equal(b, x, y))
             elif o == Operation.NE:

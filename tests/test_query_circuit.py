@@ -69,3 +69,24 @@ def test_distinct_queries_have_distinct_digests():
     c2 = build_row_query_circuit(p2, 3)
     # circuit digest = computational-hash role: commits to the baked ops
     assert c1.data.circuit_digest != c2.data.circuit_digest
+
+
+def test_arithmetic_query_circuit():
+    """MUL/DIV in a real per-query circuit."""
+    pis = parse_and_assemble(
+        "SELECT value * 2 + key, value / key FROM t "
+        "WHERE block >= $MIN_BLOCK AND block <= $MAX_BLOCK AND value % 2 = 0",
+        TABLE,
+    )
+    rc = build_row_query_circuit(pis, num_columns=3)
+    for row in ([100, 7, 10], [100, 4, 9]):
+        ph = {}
+        placeholders = Placeholders({})
+        pred, _ = eval_predicate(pis.predicate_ops, row, placeholders)
+        out, _ = eval_result_row(pis.result, row, placeholders)
+        expected = rc.expected_public_inputs(pred, out, ph)
+        proof = rc.prove_row(row, ph, expected)
+        from mp2_tpu.prover.verify import verify as _v
+
+        assert _v(rc.data, proof)
+        assert proof.public_inputs[0] == (1 if pred else 0)
