@@ -242,9 +242,64 @@ class CircuitBuilder:
         ab2 = self._arith_op(2, 0, a, b, self.zero())
         return self.sub(self.add(a, b), ab2)
 
+    def select(self, bit: Target, x: Target, y: Target) -> Target:
+        """bit ? x : y  =  bit*(x - y) + y  (bit boolean)."""
+        return self.mul_add(bit, self.sub(x, y), y)
+
     # ------------------------------------------------------------- poseidon2
     def poseidon2_permute(self, state: Sequence[Target]) -> List[Target]:
+        """Full permutation in ONE row (gates.Poseidon2Gate); falls back to
+        the 30-row per-round gates on narrow configs."""
         assert len(state) == WIDTH
+        if self.config.num_wires >= G.Poseidon2Gate.NUM_WIRES:
+            return self._p2_single_row(state)
+        return self._p2_per_round(state)
+
+    def _p2_single_row(self, state: Sequence[Target]) -> List[Target]:
+        gate = G.Poseidon2Gate()
+        row = self.add_row(gate)
+        for i, t in enumerate(state):
+            self.connect((row, gate._IN + i), t)
+
+        def compute(read, state=tuple(state)):
+            vals = [read(t) for t in state]
+            sf, ps, sl, out = p2h.permute_trace(vals)
+            cells = {}
+            for r in range(4):
+                for i in range(WIDTH):
+                    cells[gate._SF + r * WIDTH + i] = sf[r][i]
+            for j, v in enumerate(ps):
+                cells[gate._P + j] = v
+            for r in range(3):
+                for i in range(WIDTH):
+                    cells[gate._SL + r * WIDTH + i] = sl[r][i]
+            for i in range(WIDTH):
+                cells[gate._OUT + i] = out[i]
+            return cells
+
+        def lane(col):
+            def g(read, col=col, rowkey=row):
+                cache = getattr(read, "_p2cache", None)
+                if cache is None:
+                    cache = {}
+                    read._p2cache = cache
+                if rowkey not in cache:
+                    cache[rowkey] = compute(read)
+                return cache[rowkey][col]
+
+            return g
+
+        wire_cols = (
+            [gate._SF + k for k in range(4 * WIDTH)]
+            + [gate._P + j for j in range(G.ROUNDS_P)]
+            + [gate._SL + k for k in range(3 * WIDTH)]
+            + [gate._OUT + i for i in range(WIDTH)]
+        )
+        for col in wire_cols:
+            self.add_generator((row, col), lane(col))
+        return [(row, gate._OUT + i) for i in range(WIDTH)]
+
+    def _p2_per_round(self, state: Sequence[Target]) -> List[Target]:
         cur = list(state)
         half = G.ROUNDS_F // 2
         for r in range(half):

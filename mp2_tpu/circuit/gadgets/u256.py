@@ -138,13 +138,21 @@ def u256_add(
 
 
 def _split32(b: CircuitBuilder, t: Target) -> Tuple[Target, Target]:
-    """t (< p, value < 2^64) == lo + 2^32 * hi with lo, hi range-checked."""
+    """t (< p, value < 2^64) == lo + 2^32 * hi with lo, hi range-checked.
+
+    Canonicity: the constraint holds mod p, so for small t the witness
+    (lo, hi) = (t+1, 2^32-1) would encode t + p and pass both 32-bit range
+    checks.  The honest hi of a limb product is always <= 2^32 - 2, so we
+    additionally exclude hi == 2^32 - 1 (as plonky2-u32's arithmetic gate
+    does), making the split unique."""
     lo = b.add_input()
     hi = b.add_input()
     b.add_generator(lo, lambda read, t=t: read(t) % TWO32)
     b.add_generator(hi, lambda read, t=t: read(t) >> 32)
     b.decompose_bits(lo, 32)
     b.decompose_bits(hi, 32)
+    hi_is_max = b.is_equal(hi, b.constant(TWO32 - 1))
+    b.connect(hi_is_max, b.zero())
     lhs = b.sub(t, lo)
     lhs = b.sub(lhs, b.mul_const(TWO32 % P, hi))
     b.connect(lhs, b.zero())

@@ -208,6 +208,210 @@ class IsZeroGate(Gate):
         return out
 
 
+class Poseidon2Gate(Gate):
+    """One FULL Poseidon2 permutation in a single row (the recursion
+    enabler: plonky2's PoseidonGate plays the same role, 135 wires/row).
+
+    Wire layout (130 wires):
+      in[12]                    0..11    (routed)
+      out[12]                   12..23   (routed)
+      sf[r][12], r=0..3         24..71   state after each first-half full round
+      p[j], j=0..21             72..93   partial-round s-box OUTPUTS
+      sl[r][12], r=0..2         94..129  state after full rounds 4..6
+    The state inside the partial-round span is an AFFINE function of
+    (sf[3], p[0..j]); constraints materialize it only at each s-box input and
+    at the re-entry to the full rounds, so every constraint stays degree 7.
+    Round constants are baked into the gate (not row constants).
+    """
+
+    name = "poseidon2"
+    degree = 7
+    NUM_WIRES = 130
+    _IN = 0
+    _OUT = 12
+    _SF = 24
+    _P = 72
+    _SL = 94
+
+    def num_constraints(self):
+        return ROUNDS_F * WIDTH + ROUNDS_P  # 118
+
+    # -- compile-time linear-algebra tables ---------------------------------
+    @staticmethod
+    def _me_matrix():
+        """External linear layer as an explicit 12x12 int matrix."""
+        # apply the layer to unit vectors (columns), transpose into rows
+        cols = []
+        for i in range(WIDTH):
+            v = [0] * WIDTH
+            v[i] = 1
+            chunks = [
+                [
+                    sum(M4[a][b] * v[c + b] for b in range(4)) % P
+                    for a in range(4)
+                ]
+                for c in range(0, WIDTH, 4)
+            ]
+            total = [sum(ch[a] for ch in chunks) % P for a in range(4)]
+            out = []
+            for ch in chunks:
+                out.extend((ch[a] + total[a]) % P for a in range(4))
+            cols.append(out)
+        return [[cols[j][i] for j in range(WIDTH)] for i in range(WIDTH)]
+
+    @staticmethod
+    def _partial_affine():
+        """Affine coefficient rows over the basis [sf3(12) | p(22)]:
+        A_sb (22 rows): s-box input of each partial round;
+        A_fin (12 rows): state lanes at re-entry to the full rounds."""
+        k = WIDTH + ROUNDS_P
+        state = [[1 if j == i else 0 for j in range(k)] for i in range(WIDTH)]
+        a_sb = []
+        for j in range(ROUNDS_P):
+            a_sb.append(list(state[0]))
+            state[0] = [1 if c == WIDTH + j else 0 for c in range(k)]
+            s = [sum(state[i][c] for i in range(WIDTH)) % P for c in range(k)]
+            state = [
+                [
+                    (s[c] + (_INT_DIAG[i] - 1) * state[i][c]) % P
+                    for c in range(k)
+                ]
+                for i in range(WIDTH)
+            ]
+        return a_sb, state
+
+    _TABLES = None
+
+    @classmethod
+    def _tables(cls):
+        if cls._TABLES is None:
+            cls._TABLES = (cls._me_matrix(), *cls._partial_affine())
+        return cls._TABLES
+
+    def constraints(self, alg, wires, constants, extras):
+        if getattr(alg, "vectorized", False):
+            return self._constraints_vectorized(alg, wires)
+        return self._constraints_scalar(alg, wires)
+
+    def _constraints_vectorized(self, alg, wires):
+        """Stacked-lane evaluation (device quotient path): same constraint
+        list, same order, ~30x smaller traced graph."""
+        me, a_sb, a_fin = self._tables()
+        half = ROUNDS_F // 2
+        out = []
+        inp = alg.stack([wires[self._IN + i] for i in range(WIDTH)])
+        cur = alg.matmul_const(me, inp)
+        for r in range(half):
+            sb = alg.exp7(alg.add_col_const(cur, _EXT_RC[r]))
+            mixed = alg.matmul_const(me, sb)
+            stored = alg.stack(
+                [wires[self._SF + r * WIDTH + i] for i in range(WIDTH)]
+            )
+            out.append(alg.sub(stored, mixed))
+            cur = stored
+        sfp = alg.stack(
+            [wires[self._SF + 3 * WIDTH + i] for i in range(WIDTH)]
+            + [wires[self._P + j] for j in range(ROUNDS_P)]
+        )
+        v0 = alg.matmul_const(a_sb, sfp)
+        sb_out = alg.exp7(alg.add_col_const(v0, _INT_RC))
+        p_stack = alg.stack([wires[self._P + j] for j in range(ROUNDS_P)])
+        partial_cons = alg.sub(p_stack, sb_out)
+        cur = alg.matmul_const(a_fin, sfp)
+        out2 = []
+        for r in range(half, ROUNDS_F):
+            sb = alg.exp7(alg.add_col_const(cur, _EXT_RC[r]))
+            mixed = alg.matmul_const(me, sb)
+            if r < ROUNDS_F - 1:
+                stored = alg.stack(
+                    [wires[self._SL + (r - half) * WIDTH + i] for i in range(WIDTH)]
+                )
+            else:
+                stored = alg.stack(
+                    [wires[self._OUT + i] for i in range(WIDTH)]
+                )
+            out2.append(alg.sub(stored, mixed))
+            cur = stored
+        cons = []
+        for blk in out:
+            cons.extend(alg.unstack(blk))
+        cons.extend(alg.unstack(partial_cons))
+        for blk in out2:
+            cons.extend(alg.unstack(blk))
+        return cons
+
+    def _constraints_scalar(self, alg, wires):
+        half = ROUNDS_F // 2
+        out = []
+        cur = _external_linear_alg(alg, [wires[self._IN + i] for i in range(WIDTH)])
+        # first-half full rounds -> stored states
+        for r in range(half):
+            sb = [
+                alg.exp7(alg.add_const(cur[i], _EXT_RC[r][i]))
+                for i in range(WIDTH)
+            ]
+            mixed = _external_linear_alg(alg, sb)
+            stored = [wires[self._SF + r * WIDTH + i] for i in range(WIDTH)]
+            out.extend(alg.sub(stored[i], mixed[i]) for i in range(WIDTH))
+            cur = stored
+
+        # partial rounds: symbolic affine state over stored wires
+        #   each lane: (const, {wire_index: coeff})
+        state = [(0, {self._SF + 3 * WIDTH + i: 1}) for i in range(WIDTH)]
+
+        def mat(expr):
+            const, terms = expr
+            acc = None
+            for w, c in terms.items():
+                c %= P
+                if c == 0:
+                    continue
+                t = wires[w] if c == 1 else alg.mul_const(wires[w], c)
+                acc = t if acc is None else alg.add(acc, t)
+            if const % P:
+                acc = alg.add_const(acc, const % P)
+            return acc
+
+        def lin(exprs_coeffs):
+            """Sum of (coeff, expr) pairs as a new affine expr."""
+            const = 0
+            terms: Dict[int, int] = {}
+            for coeff, (c0, t0) in exprs_coeffs:
+                const = (const + coeff * c0) % P
+                for w, c in t0.items():
+                    terms[w] = (terms.get(w, 0) + coeff * c) % P
+            return (const, terms)
+
+        for j in range(ROUNDS_P):
+            v0 = mat(state[0])
+            pj = wires[self._P + j]
+            out.append(alg.sub(pj, alg.exp7(alg.add_const(v0, _INT_RC[j]))))
+            state[0] = (0, {self._P + j: 1})
+            s = lin([(1, e) for e in state])
+            state = [
+                lin([(1, s), ((_INT_DIAG[i] - 1) % P, state[i])])
+                for i in range(WIDTH)
+            ]
+
+        cur = [mat(state[i]) for i in range(WIDTH)]
+        # second-half full rounds; the last one binds the out wires
+        for r in range(half, ROUNDS_F):
+            sb = [
+                alg.exp7(alg.add_const(cur[i], _EXT_RC[r][i]))
+                for i in range(WIDTH)
+            ]
+            mixed = _external_linear_alg(alg, sb)
+            if r < ROUNDS_F - 1:
+                stored = [
+                    wires[self._SL + (r - half) * WIDTH + i] for i in range(WIDTH)
+                ]
+            else:
+                stored = [wires[self._OUT + i] for i in range(WIDTH)]
+            out.extend(alg.sub(stored[i], mixed[i]) for i in range(WIDTH))
+            cur = stored
+        return out
+
+
 class Poseidon2FullRoundGate(Gate):
     """One external Poseidon2 round: out = M_E((in + rc)^7).
 

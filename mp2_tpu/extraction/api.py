@@ -126,12 +126,23 @@ def extract_storage_slots(
         for child in sorted(children.get(body, ())):
             c = fold(child)
             dv = dv + c.values_digest
+            # the reference branch circuit ENFORCES all children share one
+            # metadata digest (values_extraction/branch.rs:104-105); mixed
+            # tables under one branch must be rejected, not silently merged
+            if dm is not None and dm != c.metadata_digest:
+                raise AssertionError(
+                    "branch children disagree on metadata digest (mixed tables)"
+                )
             dm = c.metadata_digest
             n += c.n_leaves
             max_ptr = max(max_ptr, c.key_pointer)
         if body in leaf_outputs:  # a branch that also terminates a key
             l = leaf_outputs[body]
             dv = dv + l.values_digest
+            if dm is not None and dm != l.metadata_digest:
+                raise AssertionError(
+                    "branch children disagree on metadata digest (mixed tables)"
+                )
             dm = l.metadata_digest
             n += l.n_leaves
         return ValuesExtractionOutput(
@@ -218,11 +229,16 @@ class LengthExtractionOutput:
     metadata_digest: Point
 
 
-def extract_length(trie: MPT, slot: int, location: bytes) -> LengthExtractionOutput:
+def extract_length(
+    trie: MPT, slot: int, location: bytes, variable_slot: int
+) -> LengthExtractionOutput:
     proof = trie.get_proof(location)
     value_rlp = verify_proof(trie.root_hash(), location, proof)
     length = int.from_bytes(rlp.decode(value_rlp), "big")
-    dm = p2h.map_to_curve_point([slot, length & 0xFFFFFFFF])
+    # DM = D(length_slot || variable_slot): commits to the SLOTS only, so the
+    # digest is stable across blocks (length_extraction/api.rs:27-31; the
+    # circuit must not commit to the changing length value)
+    dm = p2h.map_to_curve_point([slot, variable_slot])
     return LengthExtractionOutput(
         node_hash=trie.root_hash(), slot=slot, length=length, metadata_digest=dm
     )

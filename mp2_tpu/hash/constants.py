@@ -57,9 +57,58 @@ def load_table():
     external_rc = [ext[r * WIDTH : (r + 1) * WIDTH] for r in range(ROUNDS_F)]
     internal_rc = _sample_field_elements(b"internal-rc", ROUNDS_P)
     # Internal diagonal: mu_i must keep M_I invertible & secure; sampled
-    # uniformly (prob. of degenerate matrix ~ 2^-64).
+    # uniformly, then CHECKED (Poseidon2 paper §5.3 conditions) below.
     internal_diag = _sample_field_elements(b"internal-diag", WIDTH)
+    check_internal_matrix(internal_diag)
     return external_rc, internal_rc, internal_diag
+
+
+def _internal_matrix(diag: list[int]) -> list[list[int]]:
+    """M_I[i][j] = 1 + (i == j) * (mu_i - 1)."""
+    return [
+        [(1 + (diag[i] - 1 if i == j else 0)) % P for j in range(WIDTH)]
+        for i in range(WIDTH)
+    ]
+
+
+def check_internal_matrix(diag: list[int]) -> None:
+    """Security checks on the internal matrix (Poseidon2 paper §5.3):
+
+    1. distinct, nonzero diagonal entries (mu_i != mu_j, mu_i != 0, 1);
+    2. M_I invertible over GF(p);
+    3. no invariant subspace trails through the single s-box lane: the
+       Krylov space span{e_1, M e_1, M^2 e_1, ...} must be the full space
+       (the published Poseidon2 parameter scripts' subspace-trail test) —
+       otherwise differences confined to a proper invariant subspace would
+       bypass the partial-round s-box indefinitely.
+    """
+    assert len(set(diag)) == WIDTH, "internal diagonal entries must be distinct"
+    assert all(d % P not in (0, 1) for d in diag), "degenerate diagonal entry"
+    m = _internal_matrix(diag)
+    # invertibility: det != 0 for the diag-plus-rank-one matrix
+    # M_I = (J + diag(mu_i - 1)): det = prod(mu_i - 1) * (1 + sum 1/(mu_i-1))
+    prod = 1
+    inv_sum = 0
+    for d in diag:
+        prod = prod * ((d - 1) % P) % P
+        inv_sum = (inv_sum + pow((d - 1) % P, P - 2, P)) % P
+    assert prod * ((1 + inv_sum) % P) % P != 0, "internal matrix singular"
+    # Krylov full-rank test from the s-box lane (gaussian elim over GF(p))
+    basis: list[list[int]] = []
+    v = [1] + [0] * (WIDTH - 1)
+    for _ in range(WIDTH):
+        w = list(v)
+        for b in basis:
+            pivot = next(i for i, x in enumerate(b) if x)
+            if w[pivot]:
+                f = w[pivot] * pow(b[pivot], P - 2, P) % P
+                w = [(wi - f * bi) % P for wi, bi in zip(w, b)]
+        if any(w):
+            basis.append(w)
+        v = [sum(m[i][j] * v[j] for j in range(WIDTH)) % P for i in range(WIDTH)]
+    assert len(basis) == WIDTH, (
+        "invariant subspace through the s-box lane: insecure internal matrix"
+    )
 
 
 # The 4x4 block of the external matrix (Poseidon2 paper, eq. for M_E):

@@ -78,6 +78,33 @@ def permute(state: Sequence[int]) -> List[int]:
     return st
 
 
+def permute_trace(state: Sequence[int]):
+    """Permutation with all single-row-gate intermediate values exposed:
+    returns (sf_first[4][12] states after full rounds 0..3,
+             p_sbox[22] partial-round s-box outputs,
+             sf_last[3][12] states after full rounds 4..6,
+             out[12]).  Wire-for-wire the witness of gates.Poseidon2Gate."""
+    st = _external_linear([x % P for x in state])
+    half = ROUNDS_F // 2
+    sf_first = []
+    for r in range(half):
+        st = [_sbox((x + rc) % P) for x, rc in zip(st, _EXT_RC[r])]
+        st = _external_linear(st)
+        sf_first.append(list(st))
+    p_sbox = []
+    for r in range(ROUNDS_P):
+        s0 = _sbox((st[0] + _INT_RC[r]) % P)
+        p_sbox.append(s0)
+        st = _internal_linear([s0] + st[1:])
+    sf_last = []
+    for r in range(half, ROUNDS_F):
+        st = [_sbox((x + rc) % P) for x, rc in zip(st, _EXT_RC[r])]
+        st = _external_linear(st)
+        if r < ROUNDS_F - 1:
+            sf_last.append(list(st))
+    return sf_first, p_sbox, sf_last, list(st)
+
+
 def hash_n_to_m_no_pad(inputs: Sequence[int], num_outputs: int) -> List[int]:
     """Overwrite-mode sponge, no padding (plonky2 semantics)."""
     state = [0] * WIDTH

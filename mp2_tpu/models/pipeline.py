@@ -156,6 +156,9 @@ class TableIndexer:
         self.block_db = new_block_tree()
         self.framework = RecursiveCircuits(CIRCUITS, backend=backend)
         self.proofs: Dict = {}  # ProofKV equivalent: typed key -> ProofWithVK
+        # latest proof per tree node (across blocks): lets a parent proved in
+        # epoch N reference a child proof generated in an earlier epoch
+        self.node_proofs: Dict = {}
         self.table_data = TableData(cfg.schema())
         self.ivc: Optional[IvcOutput] = None
         self.metadata_hash: Optional[Tuple[int, int, int, int]] = None
@@ -281,9 +284,7 @@ class TableIndexer:
                 ("block", "partial"): "block_parent",
             }[(prefix, kind)]
             children = [
-                self.proofs[(prefix, block, c)]
-                for c in (l, r)
-                if c is not None and (prefix, block, c) in self.proofs
+                self.node_proofs[(prefix, c)] for c in (l, r) if c is not None
             ]
             payload = db.payload(key)
             lh = list(db.payload(l).hash) if l is not None else list(D.EMPTY_HASH)
@@ -306,9 +307,9 @@ class TableIndexer:
                 + rh
                 + inner
             )
-            self.proofs[(prefix, block, key)] = self.framework.generate_proof(
-                name, children, pis
-            )
+            pf = self.framework.generate_proof(name, children, pis)
+            self.proofs[(prefix, block, key)] = pf
+            self.node_proofs[(prefix, key)] = pf
 
     # -- query --------------------------------------------------------------
     def run_query(self, sql: str, ph: Placeholders) -> Tuple[QueryResult, ProofWithVK]:

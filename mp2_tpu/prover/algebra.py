@@ -39,6 +39,10 @@ class HostExtAlgebra:
     def mul_const(a, c: int):
         return (a[0] * c % P, a[1] * c % P)
 
+    @staticmethod
+    def add_const(a, c: int):
+        return ((a[0] + c) % P, a[1])
+
     @classmethod
     def exp7(cls, a):
         a2 = cls.mul(a, a)
@@ -48,7 +52,14 @@ class HostExtAlgebra:
 
 
 class DeviceAlgebra:
-    """Values are GF tensors (base field), broadcast over the LDE domain."""
+    """Values are GF tensors (base field), broadcast over the LDE domain.
+
+    `vectorized = True` advertises the stacked-lane fast path: gates with
+    many structurally-identical constraints (Poseidon2) evaluate them as
+    (lanes, domain) tensors + constant-matrix products, collapsing the
+    traced graph ~30x (XLA compile time is the binding constraint)."""
+
+    vectorized = True
 
     def __init__(self, shape):
         self.shape = shape
@@ -75,5 +86,40 @@ class DeviceAlgebra:
         return gl.mul_const(a, c)
 
     @staticmethod
+    def add_const(a, c: int):
+        return gl.add_const(a, c)
+
+    @staticmethod
     def exp7(a):
         return gl.exp7(a)
+
+    # -- stacked-lane helpers (vectorized gate paths) -----------------------
+    @staticmethod
+    def stack(items):
+        return gl.stack(list(items), axis=0)
+
+    @staticmethod
+    def unstack(v):
+        return [v[i] for i in range(v.shape[0])]
+
+    @staticmethod
+    def matmul_const(A, v):
+        """out[i, ...] = sum_j A[i][j] * v[j, ...] for an int matrix A."""
+        import numpy as np
+
+        m, k = len(A), len(A[0])
+        A_gf = gl.from_u64(np.array(A, dtype=np.uint64).reshape(
+            (m, k) + (1,) * (v.ndim - 1)
+        ))
+        prod = gl.mul(A_gf, GF(v.v[None]))
+        return gl.sum_axis(prod, axis=1)
+
+    @staticmethod
+    def add_col_const(v, col):
+        """v (k, ...) + per-lane constants col (k,)."""
+        import numpy as np
+
+        c = gl.from_u64(
+            np.array(col, dtype=np.uint64).reshape((len(col),) + (1,) * (v.ndim - 1))
+        )
+        return gl.add(v, c)

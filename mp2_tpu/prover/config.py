@@ -16,8 +16,10 @@ from mp2_tpu.prover.fri import FriConfig
 
 @dataclass(frozen=True)
 class CircuitConfig:
-    num_wires: int = 80          # all routed
-    num_constants: int = 13      # constant columns (poseidon rounds use 12+1)
+    num_wires: int = 136         # all routed; >= 130 fits the single-row
+                                 # Poseidon2 gate, 17 x chunk_size 8
+    num_constants: int = 13      # constant columns (per-round poseidon
+                                 # fallback gates use 12+1)
     num_challenges: int = 2      # permutation/constraint soundness repetitions
     quotient_degree_factor: int = 8
     permutation_chunk_size: int = 8

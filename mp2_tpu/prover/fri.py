@@ -277,8 +277,20 @@ def verify(
 ) -> bool:
     n = 1 << log_n
     num_folds = log_n - config.rate_bits - final_poly_bits
+    # --- proof-shape validation (mirrors plonky2's validate_proof_shape):
+    # without these, a prover could send zero fold steps plus an oversized
+    # final_poly interpolating the claimed values, voiding the LDT.
     if len(proof.commit_caps) != num_folds:
         return False
+    if len(proof.final_poly) != (1 << final_poly_bits):
+        return False
+    for r, cap in enumerate(proof.commit_caps):
+        ch = min(config.cap_height, log_n - r - 1)
+        if len(cap) != (1 << ch):
+            return False
+    for qr in proof.query_rounds:
+        if len(qr.steps) != num_folds:
+            return False
 
     betas: List[Tuple[int, int]] = []
     for cap in proof.commit_caps:
@@ -308,7 +320,8 @@ def verify(
         if len(qr.initial_leaves) != len(initial_caps):
             return False
         for leaf, sibs, cap in zip(qr.initial_leaves, qr.initial_siblings, initial_caps):
-            if not verify_merkle_proof(leaf, idx, sibs, cap):
+            depth = log_n - (len(cap).bit_length() - 1)
+            if not verify_merkle_proof(leaf, idx, sibs, cap, depth=depth):
                 return False
         # 2. derived evaluation at idx
         ev = expected_eval(idx, qr.initial_leaves)
@@ -324,8 +337,10 @@ def verify(
                 step.pair[1][0],
                 step.pair[1][1],
             ]
+            step_depth = (cur_log - 1) - min(config.cap_height, cur_log - 1)
             if not verify_merkle_proof(
-                leaf, pair_idx, step.siblings, proof.commit_caps[r]
+                leaf, pair_idx, step.siblings, proof.commit_caps[r],
+                depth=step_depth,
             ):
                 return False
             # consistency: our derived value must equal the opened slot

@@ -92,8 +92,18 @@ def verify_merkle_proof(
     index: int,
     siblings: Sequence[Sequence[int]],
     cap: Sequence[Tuple[int, int, int, int]],
+    depth: int = None,
 ) -> bool:
-    """Host verification of an opened leaf against a cap."""
+    """Host verification of an opened leaf against a cap.
+
+    `depth` (when given) pins the expected sibling count: since hash_or_noop
+    is the identity on <=4-wide leaves, an unchecked short path would let a
+    leaf equal to a cap row verify with zero siblings.
+    """
+    if depth is not None and len(siblings) != depth:
+        return False
+    if (index >> len(siblings)) >= len(cap):
+        return False
     digest = p2h.hash_or_noop([int(x) for x in leaf])
     idx = index
     for sib in siblings:

@@ -151,18 +151,19 @@ class TP2Backend:
             return False
         if not tp2_verify(data, p):
             return False
-        # host-side child linkage (stand-in for the universal verifier)
+        # host-side child linkage (stand-in for the universal verifier):
+        # EVERY declared non-empty child must be backed by a child proof, in
+        # (left, right) positional order — a prover can neither omit a child
+        # nor swap positions (cf. VERDICT r1 weak #3)
         lh_off, rh_off = _CHILD_OFFSETS[shape]
-        child_hashes = [tuple(c.public_inputs[0:4]) for c in child_proofs]
         declared = [
             tuple(proof.public_inputs[lh_off : lh_off + 4]),
             tuple(proof.public_inputs[rh_off : rh_off + 4]),
         ]
         empty = tuple(p2h.empty_poseidon_hash())
-        for ch in child_hashes:
-            if ch not in declared:
-                return False
-        return True
+        expected = [d for d in declared if d != empty]
+        child_hashes = [tuple(c.public_inputs[0:4]) for c in child_proofs]
+        return child_hashes == expected
 
 
 def _pi_tail_to_inputs(shape: str, tail: List[int]) -> List[int]:

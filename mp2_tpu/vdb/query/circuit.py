@@ -17,10 +17,12 @@ Supported in-circuit ops: the full universal-circuit set — ADD, SUB, MUL,
 DIV, MOD (witnessed quotient/remainder), EQ, NE, LT, GT, LE, GE, AND, OR,
 NOT, XOR.
 
-Public inputs: [predicate_bit] || output values (8 limbs each) ||
-placeholder values (8 limbs each, bound by the verifier to the claimed
-bindings).
-"""
+Public inputs: [column_commitment(4)] || [predicate_bit] || output values
+(8 limbs each) || placeholder values (8 limbs each, bound by the verifier to
+the claimed bindings).  The column commitment is the in-circuit Poseidon2
+hash of ALL column limb values, so the aggregation layer can bind the row's
+claimed values to the committed cells/rows tree (the reference binds rows
+via tree-hash public inputs in the universal query circuit)."""
 
 from __future__ import annotations
 
@@ -73,12 +75,23 @@ class RowQueryCircuit:
         w = self.data.generate_witness(inputs)
         return prove(self.data, w, public_inputs)
 
+    @staticmethod
+    def column_commitment(column_values: Sequence[int]) -> List[int]:
+        """Host mirror of the in-circuit column hash (PI slots 0..3)."""
+        from mp2_tpu.hash import poseidon2_host as p2h
+        from mp2_tpu.utils.u256 import u256_to_fields
+
+        flat = [f for v in column_values for f in u256_to_fields(v)]
+        return list(p2h.hash_no_pad(flat))
+
     def expected_public_inputs(
-        self, predicate: bool, outputs: Sequence[int], placeholders: Dict[str, int]
+        self, predicate: bool, outputs: Sequence[int], placeholders: Dict[str, int],
+        column_values: Sequence[int],
     ) -> List[int]:
         from mp2_tpu.utils.u256 import u256_to_fields
 
-        pis = [1 if predicate else 0]
+        pis = self.column_commitment(column_values)
+        pis.append(1 if predicate else 0)
         for v in outputs:
             pis.extend(u256_to_fields(v))
         for name in self.placeholder_targets:
@@ -164,6 +177,10 @@ def build_row_query_circuit(
     )
     res_vals = eval_ops(pis.result.result_operations)
 
+    # column commitment: binds the (private) column witnesses to the tree
+    # the aggregation layer committed to
+    col_hash = b.hash_no_pad([l for c in cols for l in c.limbs])
+    b.register_public_inputs(col_hash)
     b.register_public_input(pred_bit)
     outputs = []
     for item in pis.result.output_items:

@@ -177,7 +177,7 @@ def test_lengthed_extraction_completeness():
         for (loc, _), k in zip(slots, keys)
     ]
     values_out = extract_storage_slots(trie, [col], entries)
-    length_out = extract_length(trie, length_slot, len_loc)
+    length_out = extract_length(trie, length_slot, len_loc, variable_slot=slot)
     assert length_out.length == 3 == values_out.n_leaves
 
     state = MPT(secure=True)

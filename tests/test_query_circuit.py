@@ -45,15 +45,23 @@ def test_row_proof_matches_host_semantics(circuit, row, ph, want_pred):
     assert pred == want_pred
     out, _ = eval_result_row(pis.result, row, placeholders)
 
-    expected = rc.expected_public_inputs(pred, out, ph)
+    expected = rc.expected_public_inputs(pred, out, ph, row)
     proof = rc.prove_row(row, ph, expected)
     assert verify(rc.data, proof)
-    assert proof.public_inputs[0] == (1 if want_pred else 0)
+    # PI layout: column_commitment(4) || predicate_bit || ...
+    assert expected[:4] == rc.column_commitment(row)
+    assert proof.public_inputs[4] == (1 if want_pred else 0)
 
     # forged predicate bit must fail
     forged = rc.prove_row(row, ph, expected)
-    forged.public_inputs = [1 - expected[0]] + expected[1:]
+    forged.public_inputs = expected[:4] + [1 - expected[4]] + expected[5:]
     assert not verify(rc.data, forged)
+
+    # forged column commitment (claiming different row values) must fail
+    forged2 = rc.prove_row(row, ph, expected)
+    other = rc.column_commitment([row[0], row[1], row[2] + 1])
+    forged2.public_inputs = other + expected[4:]
+    assert not verify(rc.data, forged2)
 
 
 def test_distinct_queries_have_distinct_digests():
@@ -84,9 +92,9 @@ def test_arithmetic_query_circuit():
         placeholders = Placeholders({})
         pred, _ = eval_predicate(pis.predicate_ops, row, placeholders)
         out, _ = eval_result_row(pis.result, row, placeholders)
-        expected = rc.expected_public_inputs(pred, out, ph)
+        expected = rc.expected_public_inputs(pred, out, ph, row)
         proof = rc.prove_row(row, ph, expected)
         from mp2_tpu.prover.verify import verify as _v
 
         assert _v(rc.data, proof)
-        assert proof.public_inputs[0] == (1 if pred else 0)
+        assert proof.public_inputs[4] == (1 if pred else 0)

@@ -27,12 +27,14 @@ def test_real_tree_proofs_verify(indexed):
     proof = idx.proofs[("rows", 101, root_key)]
     assert proof.payload["kind"] == "tp2"
     l, r = idx.rows_db.tree.children(root_key)
-    children = [
-        idx.proofs[("rows", 101, c)]
-        for c in (l, r)
-        if c is not None and ("rows", 101, c) in idx.proofs
-    ]
+    children = [idx.node_proofs[("rows", c)] for c in (l, r) if c is not None]
     assert idx.framework.verify_proof(proof, children)
+    # strict linkage: omitting a declared non-empty child must fail
+    if children:
+        assert not idx.framework.verify_proof(proof, children[:-1])
+    # swapped positions must fail
+    if len(children) == 2:
+        assert not idx.framework.verify_proof(proof, children[::-1])
     # PIs carry the real node hash
     assert tuple(proof.public_inputs[0:4]) == idx.rows_db.payload(root_key).hash
 
@@ -42,7 +44,9 @@ def test_block_tree_proof_verifies(indexed):
     root_key = idx.block_db.root()
     proof = idx.proofs[("block", 101, root_key)]
     assert proof.payload["kind"] == "tp2"
-    assert idx.framework.verify_proof(proof, [])
+    l, r = idx.block_db.tree.children(root_key)
+    children = [idx.node_proofs[("block", c)] for c in (l, r) if c is not None]
+    assert idx.framework.verify_proof(proof, children)
     assert tuple(proof.public_inputs[0:4]) == idx.block_db.payload(root_key).hash
 
 
@@ -54,7 +58,9 @@ def test_tampered_pi_rejected(indexed):
 
     bad = copy.deepcopy(proof)
     bad.public_inputs[0] = (bad.public_inputs[0] + 1) % (2**64 - 2**32 + 1)
-    assert not idx.framework.verify_proof(bad, [])
+    l, r = idx.block_db.tree.children(root_key)
+    children = [idx.node_proofs[("block", c)] for c in (l, r) if c is not None]
+    assert not idx.framework.verify_proof(bad, children)
 
 
 def test_child_linkage_enforced(indexed):
