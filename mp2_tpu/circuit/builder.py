@@ -384,8 +384,10 @@ class CircuitBuilder:
             self.register_public_input(t)
 
     # ------------------------------------------------------------- finalize
-    def build(self) -> "CircuitData":
+    def build(self, min_rows: int = 0) -> "CircuitData":
         from mp2_tpu.prover.prove import CircuitData  # cycle-free import
+
+        self._min_rows = min_rows
 
         # pad unused is_zero slots: their constraint needs out = 1 when the
         # (defaulted-to-zero) input is zero

@@ -67,6 +67,13 @@ class ArithmeticGate(Gate):
 
     def constraints(self, alg, wires, constants, extras):
         c0, c1 = constants[0], constants[1]
+        if getattr(alg, "vectorized", False) and self.num_ops > 1:
+            x = alg.stack([wires[4 * i] for i in range(self.num_ops)])
+            y = alg.stack([wires[4 * i + 1] for i in range(self.num_ops)])
+            z = alg.stack([wires[4 * i + 2] for i in range(self.num_ops)])
+            o = alg.stack([wires[4 * i + 3] for i in range(self.num_ops)])
+            t = alg.add(alg.mul(alg.mul(x, y), c0), alg.mul(z, c1))
+            return alg.unstack(alg.sub(o, t))
         out = []
         for i in range(self.num_ops):
             x, y, z, o = (wires[j] for j in self.wires_for_op(i))
@@ -166,6 +173,29 @@ class BitDecomposeGate(Gate):
         return self.num_ops * (self.bits + 1)
 
     def constraints(self, alg, wires, constants, extras):
+        if getattr(alg, "vectorized", False):
+            ops, bits = self.num_ops, self.bits
+            vals = alg.stack(
+                [wires[self.wires_for_op(i)[0]] for i in range(ops)]
+            )
+            bws = alg.stack(
+                [wires[k] for i in range(ops) for k in self.wires_for_op(i)[1]]
+            )  # (ops*bits, ...)
+            boo = alg.unstack(alg.sub(alg.mul(bws, bws), bws))
+            wt = [
+                [
+                    (1 << (j % bits)) if j // bits == i else 0
+                    for j in range(ops * bits)
+                ]
+                for i in range(ops)
+            ]
+            sums = alg.matmul_const(wt, bws)
+            sumc = alg.unstack(alg.sub(vals, sums))
+            out = []
+            for i in range(ops):
+                out.extend(boo[i * bits : (i + 1) * bits])
+                out.append(sumc[i])
+            return out
         out = []
         for i in range(self.num_ops):
             v, bit_idx = self.wires_for_op(i)
@@ -199,6 +229,19 @@ class IsZeroGate(Gate):
         return 2 * self.num_ops
 
     def constraints(self, alg, wires, constants, extras):
+        if getattr(alg, "vectorized", False) and self.num_ops > 1:
+            x = alg.stack([wires[3 * i] for i in range(self.num_ops)])
+            inv = alg.stack([wires[3 * i + 1] for i in range(self.num_ops)])
+            o = alg.stack([wires[3 * i + 2] for i in range(self.num_ops)])
+            t1 = alg.unstack(
+                alg.add_const(alg.add(alg.mul(x, inv), o), P - 1)
+            )
+            t2 = alg.unstack(alg.mul(x, o))
+            out = []
+            for i in range(self.num_ops):
+                out.append(t1[i])
+                out.append(t2[i])
+            return out
         out = []
         for i in range(self.num_ops):
             x, inv, o = (wires[j] for j in self.wires_for_op(i))

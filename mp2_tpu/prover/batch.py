@@ -1,0 +1,649 @@
+"""Batched prover: B independent witnesses of ONE circuit per dispatch.
+
+The map phase of the proof map-reduce (SURVEY.md §2.9, §7.3): leaf proofs
+are embarrassingly parallel, so all device stages run with a leading batch
+axis — one iNTT/LDE/Merkle/quotient/FRI dispatch sequence serves B proofs.
+On TPU this amortizes the per-dispatch tunnel latency that dominates
+single-proof latency (the round-1 bottleneck: 0.6 proofs/s serial).
+
+Transcript safety: each batch element runs its OWN duplex challenger lane
+(`Challenger(batch=(B,))`), so the B transcripts are exactly the transcripts
+the serial prover would produce — proofs remain individually verifiable by
+`prover.verify.verify` and by the recursive verifier gadget.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mp2_tpu.field import ext2
+from mp2_tpu.field import goldilocks as gl
+from mp2_tpu.field.ext2 import GF2
+from mp2_tpu.field.goldilocks import GF, P
+from mp2_tpu.hash import poseidon2 as p2
+from mp2_tpu.hash import poseidon2_host as p2h
+from mp2_tpu.hash.challenger import Challenger
+from mp2_tpu.prover import fri as fri_mod
+from mp2_tpu.prover import ntt
+from mp2_tpu.prover.algebra import DeviceAlgebra
+from mp2_tpu.prover.fri import FriProof, FriQueryRound, FriQueryStep
+from mp2_tpu.prover.merkle import MerkleTree
+from mp2_tpu.prover.prove import (
+    SHIFT,
+    CircuitData,
+    Openings,
+    Proof,
+    _lde_tables,
+    _powers_device,
+    _SHAPE_JITS,
+    _shape_key,
+)
+
+
+class BatchedMerkleTree:
+    """Merkle-cap trees over a batch: leaves (B, m, w) -> cap (B, 2^ch, 4)."""
+
+    def __init__(self, leaves: GF, cap_height: int = 0):
+        B, m = leaves.shape[0], leaves.shape[1]
+        assert m & (m - 1) == 0
+        self.cap_height = cap_height
+        self.leaves = leaves
+        digests = p2.hash_or_noop(leaves)  # (B, m, 4)
+        self.digest_levels: List[GF] = [digests]
+        while digests.shape[1] > (1 << cap_height):
+            digests = p2.two_to_one(digests[:, 0::2], digests[:, 1::2])
+            self.digest_levels.append(digests)
+
+    @property
+    def cap(self) -> GF:
+        return self.digest_levels[-1]
+
+    def to_host(self):
+        """Pull leaves + levels once for host query extraction."""
+        return (
+            gl.to_u64(self.leaves),
+            [gl.to_u64(l) for l in self.digest_levels[:-1]],
+        )
+
+
+def _grind_batch(challenger: Challenger, pow_bits: int, B: int) -> np.ndarray:
+    """Per-element grinding: find nonce[b] whose derived challenge has
+    pow_bits leading zeros, all elements searched in parallel."""
+    if pow_bits == 0:
+        return np.zeros(B, dtype=np.uint64)
+    span = 2048
+    found = np.zeros(B, dtype=bool)
+    out = np.zeros(B, dtype=np.uint64)
+    base = 0
+    while not found.all():
+        nonces = np.arange(base, base + span, dtype=np.uint64)
+        clone = Challenger(batch=(B, span))
+        clone._state = [
+            GF(jnp.broadcast_to(s.v[:, None], (B, span))) for s in challenger._state
+        ]
+        clone._input_buffer = [
+            GF(jnp.broadcast_to(b.v[:, None], (B, span)))
+            for b in challenger._input_buffer
+        ]
+        clone.observe(GF(jnp.broadcast_to(jnp.asarray(nonces), (B, span))))
+        ch = gl.to_u64(clone.get_challenge())  # (B, span)
+        ok = (ch >> np.uint64(64 - pow_bits)) == 0
+        for b in range(B):
+            if not found[b]:
+                hits = np.nonzero(ok[b])[0]
+                if hits.size:
+                    out[b] = base + hits[0]
+                    found[b] = True
+        base += span
+    return out
+
+
+def _make_zs_fn_batched(data: CircuitData):
+    cfg = data.config
+    n, W = data.n, cfg.num_wires
+    chunk = cfg.permutation_chunk_size
+    n_chunks = -(-W // chunk)
+    nc = cfg.num_challenges
+    npp = cfg.num_partial_products
+    g = ntt._root_of_unity(data.log_n)
+    x_pows = np.empty(n, dtype=np.uint64)
+    cur = 1
+    for i in range(n):
+        x_pows[i] = cur
+        cur = cur * g % P
+    ks = np.array(data.k_coeffs, dtype=np.uint64)
+    kx_t = np.array(
+        [[int(k) * int(x) % P for k in ks] for x in x_pows], dtype=np.uint64
+    )
+    sigma_t = data.sigma_values
+
+    def fn(wit: GF, betas: GF, gammas: GF) -> GF:
+        # wit (B, n, W); betas/gammas (nc, B)
+        B = wit.shape[0]
+        kx = gl.from_u64(kx_t)  # (n, W)
+        sg = gl.from_u64(sigma_t)
+        cols = []
+        for c in range(nc):
+            beta = GF(betas.v[c][:, None, None])  # (B,1,1)
+            gamma = GF(gammas.v[c][:, None, None])
+            num = gl.add(gl.add(wit, gl.mul(GF(kx.v[None]), beta)), gamma)
+            den = gl.add(gl.add(wit, gl.mul(GF(sg.v[None]), beta)), gamma)
+
+            def chunk_prod(m):
+                v = m.reshape(B, n, n_chunks, chunk)
+                while v.shape[-1] > 1:
+                    h = v.shape[-1] // 2
+                    v = gl.mul(v[..., :h], v[..., h : 2 * h])
+                return v.reshape(B, n, n_chunks)
+
+            nums = chunk_prod(num)
+            dens = chunk_prod(den)
+            ratios = gl.mul(nums, gl.inv(dens))  # (B, n, n_chunks)
+            row_pref = ratios
+            shift = 1
+            while shift < n_chunks:
+                shifted = gl.roll(row_pref, shift, axis=-1)
+                mask = jnp.arange(n_chunks) >= shift
+                row_pref = gl.mul(
+                    row_pref, gl.select(mask, shifted, gl.ones(row_pref.shape))
+                )
+                shift *= 2
+            row_full = row_pref[..., n_chunks - 1]  # (B, n)
+            # inclusive prefix product along rows
+            incl = row_full
+            shift = 1
+            while shift < n:
+                shifted = gl.roll(incl, shift, axis=-1)
+                mask = jnp.arange(n) >= shift
+                incl = gl.mul(incl, gl.select(mask, shifted, gl.ones(incl.shape)))
+                shift *= 2
+            z = gl.concat([gl.ones((B, 1)), incl[:, : n - 1]], axis=-1)  # (B, n)
+            pps = gl.mul(row_pref[:, :, :npp], GF(z.v[:, :, None]))
+            cols.append(z.reshape(B, 1, n))
+            cols.append(GF(jnp.swapaxes(pps.v, 1, 2)))  # (B, npp, n)
+        return gl.concat(cols, axis=1)  # (B, zcols, n)
+
+    return jax.jit(fn)
+
+
+def _make_quotient_fn_batched(data: CircuitData):
+    cfg = data.config
+    n, log_n = data.n, data.log_n
+    rate = cfg.fri.rate_bits
+    big = n << rate
+    W = cfg.num_wires
+    T = data.num_gate_types
+    nC = cfg.num_constants
+    chunk = cfg.permutation_chunk_size
+    n_chunks = -(-W // chunk)
+    k_coeffs = list(data.k_coeffs)
+    gate_types = list(data.gate_types)
+    x_t, zh_inv_t, l0_t = _lde_tables(log_n, rate)
+
+    def fn(fixed_lde, wire_lde, zs_lde, betas, gammas, alphas, pi_hash):
+        # fixed_lde (F, big) shared; wire_lde (B, W, big); zs (B, zc, big);
+        # betas/gammas/alphas (nc, B); pi_hash (B, 4)
+        B = wire_lde.shape[0]
+        x = gl.from_u64(x_t)
+        zh_inv = gl.from_u64(zh_inv_t)
+        l0 = gl.from_u64(l0_t)
+        alg = DeviceAlgebra((B, big))
+        sel = [GF(fixed_lde.v[t][None]) for t in range(T)]
+        consts = [GF(fixed_lde.v[T + j][None]) for j in range(nC)]
+        sigma_m = fixed_lde[T + nC : T + nC + W]  # (W, big)
+        wires = [wire_lde[:, j] for j in range(W)]
+        extras = {"pi_hash": [GF(pi_hash.v[:, i][:, None]) for i in range(4)]}
+
+        gate_term_list = []
+        for t, (name, gate) in enumerate(gate_types):
+            for c in gate.constraints(alg, wires, consts, extras):
+                gate_term_list.append(gl.mul(sel[t], c))
+        groups = [gl.stack(gate_term_list, axis=0)]  # (Kg, B, big)
+
+        k_vec = gl.from_u64(np.array(k_coeffs, dtype=np.uint64))
+        for c in range(cfg.num_challenges):
+            beta = GF(betas.v[c][:, None, None])  # (B,1,1)
+            gamma = GF(gammas.v[c][:, None, None])
+            base = c * (1 + cfg.num_partial_products)
+            z = zs_lde[:, base]  # (B, big)
+            partials = zs_lde[:, base + 1 : base + 1 + cfg.num_partial_products]
+            z_next = gl.roll(z, -(1 << rate), axis=-1)
+            groups.append(
+                gl.mul(l0, gl.sub(z, gl.ones((B, big)))).reshape(1, B, big)
+            )
+            bk = gl.mul(GF(k_vec.v[None, :, None]), beta)  # (B, W, 1)
+            num_all = gl.add(
+                gl.add(wire_lde, gl.mul(bk, GF(x.v[None, None]))), gamma
+            )
+            den_all = gl.add(
+                gl.add(wire_lde, gl.mul(GF(sigma_m.v[None]), beta)), gamma
+            )
+
+            def chunk_prod(m):
+                v = m.reshape(B, n_chunks, chunk, big)
+                while v.shape[2] > 1:
+                    h = v.shape[2] // 2
+                    v = gl.mul(v[:, :, :h], v[:, :, h : 2 * h])
+                return v.reshape(B, n_chunks, big)
+
+            nums = chunk_prod(num_all)
+            dens = chunk_prod(den_all)
+            pps = gl.concat(
+                [z.reshape(B, 1, big), partials, z_next.reshape(B, 1, big)],
+                axis=1,
+            )
+            diff = gl.sub(
+                gl.mul(pps[:, 1:], dens), gl.mul(pps[:, :-1], nums)
+            )  # (B, n_chunks, big)
+            groups.append(GF(jnp.swapaxes(diff.v, 0, 1)))
+
+        all_terms = gl.concat(groups, axis=0)  # (K, B, big)
+        K = all_terms.shape[0]
+        outs = []
+        for c in range(cfg.num_challenges):
+            apows = _powers_batched(GF(alphas.v[c]), K)  # (K, B)
+            acc = gl.sum_axis(
+                gl.mul(all_terms, GF(apows.v[:, :, None])), axis=0
+            )  # (B, big)
+            outs.append(gl.mul(acc, zh_inv))
+        return gl.stack(outs, axis=1)  # (B, nc, big)
+
+    return jax.jit(fn)
+
+
+def _powers_batched(a: GF, count: int) -> GF:
+    """(count, B) powers [1, a, a^2, ...] per batch element."""
+    B = a.shape[0]
+    pows = gl.ones((1, B))
+    step = GF(a.v[None])
+    while pows.shape[0] < count:
+        pows = gl.concat([pows, gl.mul(pows, step)], axis=0)
+        step = gl.mul(step, step)
+    return pows[:count]
+
+
+def _ext_powers_batched(z: GF2, count: int) -> GF2:
+    """(count, B) extension powers."""
+    B = z.c0.shape[0]
+    pows = ext2.ones((1, B))
+    step = GF2(GF(z.c0.v[None]), GF(z.c1.v[None]))
+    while pows.c0.shape[0] < count:
+        shifted = ext2.mul(pows, step)
+        pows = GF2(
+            gl.concat([pows.c0, shifted.c0], axis=0),
+            gl.concat([pows.c1, shifted.c1], axis=0),
+        )
+        step = ext2.mul(step, step)
+    return pows[:count]
+
+
+def _eval_at_ext_batched(coeffs: GF, zpows: GF2) -> GF2:
+    """coeffs (B, C, n) at per-element points via zpows (n, B) -> (B, C)."""
+    zp0 = GF(jnp.swapaxes(zpows.c0.v, 0, 1)[:, None, :])  # (B,1,n)
+    zp1 = GF(jnp.swapaxes(zpows.c1.v, 0, 1)[:, None, :])
+    c0 = gl.sum_axis(gl.mul(coeffs, zp0), axis=-1)
+    c1 = gl.sum_axis(gl.mul(coeffs, zp1), axis=-1)
+    return GF2(c0, c1)
+
+
+def prove_batch(
+    data: CircuitData,
+    witnesses: np.ndarray,  # (B, n, W) uint64
+    public_inputs: Sequence[Sequence[int]],
+) -> List[Proof]:
+    cfg = data.config
+    n, log_n = data.n, data.log_n
+    W = cfg.num_wires
+    nc = cfg.num_challenges
+    rate = cfg.fri.rate_bits
+    big = n << rate
+    cap_h = min(cfg.fri.cap_height, log_n)
+    B = witnesses.shape[0]
+    assert len(public_inputs) == B
+
+    pi_hashes = np.array(
+        [p2h.hash_no_pad(list(pis)) for pis in public_inputs], dtype=np.uint64
+    )  # (B, 4)
+
+    ch = Challenger(batch=(B,))
+    dig = np.broadcast_to(
+        np.array(data.circuit_digest, dtype=np.uint64), (B, 4)
+    )
+    ch.observe(gl.from_u64(np.ascontiguousarray(dig)))
+    ch.observe(gl.from_u64(pi_hashes))
+
+    # --- wires ---
+    wire_vals = gl.from_u64(np.swapaxes(witnesses, 1, 2))  # (B, W, n)
+    wire_coeffs = ntt.intt(wire_vals)
+    wire_lde = _lde_batched(wire_coeffs, rate)
+    wires_tree = BatchedMerkleTree(_leaves_batched(wire_lde), cap_height=cap_h)
+    ch.observe(wires_tree.cap.reshape(B, -1))
+
+    betas = gl.stack(ch.get_n_challenges(nc), axis=0)  # (nc, B)
+    gammas = gl.stack(ch.get_n_challenges(nc), axis=0)
+
+    # --- permutation columns ---
+    jits = _SHAPE_JITS.setdefault(_shape_key(data), {})
+    if "zs_batched" not in jits:
+        jits["zs_batched"] = _make_zs_fn_batched(data)
+    zs_vals = jits["zs_batched"](gl.from_u64(witnesses), betas, gammas)
+    zs_coeffs = ntt.intt(zs_vals)
+    zs_lde = _lde_batched(zs_coeffs, rate)
+    zs_tree = BatchedMerkleTree(_leaves_batched(zs_lde), cap_height=cap_h)
+    ch.observe(zs_tree.cap.reshape(B, -1))
+
+    alphas = gl.stack(ch.get_n_challenges(nc), axis=0)
+
+    # --- quotient ---
+    if "quotient_batched" not in jits:
+        jits["quotient_batched"] = _make_quotient_fn_batched(data)
+    quo_vals = jits["quotient_batched"](
+        data.fixed_lde, wire_lde, zs_lde, betas, gammas, alphas,
+        gl.from_u64(pi_hashes),
+    )  # (B, nc, big)
+    quo_coeffs_full = ntt.coset_intt(quo_vals, SHIFT)
+    qk = cfg.quotient_degree_factor
+    quo_chunk_coeffs = GF(quo_coeffs_full.v.reshape(B, nc * qk, n))
+    quo_lde = _lde_batched(quo_chunk_coeffs, rate)
+    quo_tree = BatchedMerkleTree(_leaves_batched(quo_lde), cap_height=cap_h)
+    ch.observe(quo_tree.cap.reshape(B, -1))
+
+    zeta = ch.get_extension_challenge()  # GF2 of (B,)
+
+    # --- openings ---
+    g = ntt._root_of_unity(log_n)
+    zpows = _ext_powers_batched(zeta, n)  # (n, B)
+    gzeta = GF2(gl.mul_const(zeta.c0, g), gl.mul_const(zeta.c1, g))
+    gzpows = _ext_powers_batched(gzeta, n)
+    fixed_coeffs_b = GF(jnp.broadcast_to(
+        data.fixed_coeffs.v[None], (B,) + data.fixed_coeffs.shape
+    ))
+    z_cols_idx = np.array([c * (1 + cfg.num_partial_products) for c in range(nc)])
+    z_coeffs_only = gl.take(zs_coeffs, z_cols_idx, axis=1)
+    fixed_open = _eval_at_ext_batched(fixed_coeffs_b, zpows)
+    wires_open = _eval_at_ext_batched(wire_coeffs, zpows)
+    zsp_open = _eval_at_ext_batched(zs_coeffs, zpows)
+    quo_open = _eval_at_ext_batched(quo_chunk_coeffs, zpows)
+    zs_next_open = _eval_at_ext_batched(z_coeffs_only, gzpows)
+
+    all_opens = GF2(
+        gl.concat(
+            [fixed_open.c0, wires_open.c0, zsp_open.c0, quo_open.c0,
+             zs_next_open.c0], axis=1,
+        ),
+        gl.concat(
+            [fixed_open.c1, wires_open.c1, zsp_open.c1, quo_open.c1,
+             zs_next_open.c1], axis=1,
+        ),
+    )  # (B, n_open)
+    # observe openings in flat order, interleaving c0/c1 per opening
+    n_open = all_opens.c0.shape[1]
+    inter = GF(
+        jnp.stack([all_opens.c0.v, all_opens.c1.v], axis=2).reshape(
+            B, 2 * n_open
+        )
+    )
+    ch.observe(inter)
+    alpha_fri = ch.get_extension_challenge()
+
+    # --- combined FRI polynomial ---
+    F = data.fixed_lde.shape[0]
+    fixed_lde_b = GF(jnp.broadcast_to(
+        data.fixed_lde.v[None], (B, F, big)
+    ))
+    all_lde = gl.concat([fixed_lde_b, wire_lde, zs_lde, quo_lde], axis=1)
+    z_lde_only = gl.take(zs_lde, z_cols_idx, axis=1)
+    n1 = F + W + zs_lde.shape[1] + quo_lde.shape[1]
+    opens1 = GF2(all_opens.c0[:, :n1], all_opens.c1[:, :n1])
+    opens2 = GF2(all_opens.c0[:, n1:], all_opens.c1[:, n1:])
+    final_evals = _combine_batched(
+        all_lde, z_lde_only, opens1, opens2, alpha_fri, zeta, gzeta
+    )  # GF2 (B, big)
+    final_rev = fri_mod.bit_reverse_ext(final_evals)
+
+    # --- FRI commit phase (batched) ---
+    fri_cfg = cfg.fri
+    final_poly_bits = cfg.fri_final_poly_bits
+    num_folds = log_big_folds = log_n + rate - rate - final_poly_bits
+    cur = final_rev
+    cur_shift = SHIFT
+    cur_log = log_n + rate
+    fold_trees: List[BatchedMerkleTree] = []
+    fold_betas: List[GF2] = []
+    for _ in range(num_folds):
+        leaves = _ext_leaves_batched(cur)
+        t = BatchedMerkleTree(
+            leaves, cap_height=min(fri_cfg.cap_height, cur_log - 1)
+        )
+        fold_trees.append(t)
+        ch.observe(t.cap.reshape(B, -1))
+        beta = ch.get_extension_challenge()
+        fold_betas.append(beta)
+        inv2x = gl.from_u64(fri_mod._fold_inv_2x(cur_log, cur_shift))
+        cur = _fold_batched(cur, beta, inv2x)
+        cur_shift = cur_shift * cur_shift % P
+        cur_log -= 1
+
+    nat = fri_mod.bit_reverse_ext(cur)
+    coeffs_ext = GF2(
+        ntt.coset_intt(nat.c0, cur_shift), ntt.coset_intt(nat.c1, cur_shift)
+    )
+    final_len = 1 << final_poly_bits
+    fc0 = gl.to_u64(coeffs_ext.c0)
+    fc1 = gl.to_u64(coeffs_ext.c1)
+    assert int(np.max(fc0[:, final_len:], initial=0)) == 0
+    assert int(np.max(fc1[:, final_len:], initial=0)) == 0
+    inter_fp = GF(
+        jnp.stack(
+            [jnp.asarray(fc0[:, :final_len]), jnp.asarray(fc1[:, :final_len])],
+            axis=2,
+        ).reshape(B, 2 * final_len)
+    )
+    ch.observe(inter_fp)
+
+    pow_witnesses = _grind_batch(ch, fri_cfg.proof_of_work_bits, B)
+    ch.observe(gl.from_u64(pow_witnesses))
+    ch.get_challenge()  # pow response, keep transcripts in lockstep
+
+    q_challenges = [
+        gl.to_u64(ch.get_challenge()) for _ in range(fri_cfg.num_query_rounds)
+    ]  # each (B,)
+    indices = np.stack(q_challenges, axis=1).astype(np.uint64) % np.uint64(big)
+
+    # --- host extraction of query openings ---
+    caps_host = {
+        "wires": gl.to_u64(wires_tree.cap),
+        "zs": gl.to_u64(zs_tree.cap),
+        "quo": gl.to_u64(quo_tree.cap),
+    }
+    init_host = [wires_tree.to_host(), zs_tree.to_host(), quo_tree.to_host()]
+    fixed_leaves, fixed_levels = data.fixed_tree.leaves, None
+    fold_host = [t.to_host() for t in fold_trees]
+    fold_caps_host = [gl.to_u64(t.cap) for t in fold_trees]
+
+    proofs: List[Proof] = []
+    for b in range(B):
+        query_rounds = []
+        for q in range(fri_cfg.num_query_rounds):
+            idx = int(indices[b, q])
+            leaves_l, sibs_l = [], []
+            # fixed oracle: shared tree, host open
+            leaf, sibs = data.fixed_tree.open(idx)
+            leaves_l.append(leaf)
+            sibs_l.append(sibs)
+            for leaves_h, levels_h in init_host:
+                leaves_l.append(leaves_h[b, idx])
+                s = []
+                i = idx
+                for lvl in levels_h:
+                    s.append(lvl[b, i ^ 1])
+                    i >>= 1
+                sibs_l.append(np.array(s, dtype=np.uint64))
+            steps = []
+            i = idx
+            for r, (leaves_h, levels_h) in enumerate(fold_host):
+                pair_idx = i // 2
+                row = leaves_h[b, pair_idx]
+                s = []
+                j = pair_idx
+                for lvl in levels_h:
+                    s.append(lvl[b, j ^ 1])
+                    j >>= 1
+                steps.append(
+                    FriQueryStep(
+                        pair=(
+                            (int(row[0]), int(row[1])),
+                            (int(row[2]), int(row[3])),
+                        ),
+                        siblings=np.array(s, dtype=np.uint64).reshape(-1, 4),
+                    )
+                )
+                i = pair_idx
+            query_rounds.append(
+                FriQueryRound(
+                    initial_leaves=leaves_l,
+                    initial_siblings=sibs_l,
+                    steps=steps,
+                )
+            )
+        fri_proof = FriProof(
+            commit_caps=[c[b] for c in fold_caps_host],
+            final_poly=[
+                (int(a), int(bb))
+                for a, bb in zip(fc0[b, :final_len], fc1[b, :final_len])
+            ],
+            pow_witness=int(pow_witnesses[b]),
+            query_rounds=query_rounds,
+        )
+        o0 = gl.to_u64(all_opens.c0)[b]
+        o1 = gl.to_u64(all_opens.c1)[b]
+        F_cols = F
+        zc = zs_lde.shape[1]
+        qc = quo_lde.shape[1]
+        i0 = 0
+        fixed_o = [(int(a), int(bb)) for a, bb in zip(o0[:F_cols], o1[:F_cols])]
+        i0 = F_cols
+        wires_o = [
+            (int(a), int(bb)) for a, bb in zip(o0[i0 : i0 + W], o1[i0 : i0 + W])
+        ]
+        i0 += W
+        zs_o = [
+            (int(a), int(bb)) for a, bb in zip(o0[i0 : i0 + zc], o1[i0 : i0 + zc])
+        ]
+        i0 += zc
+        quo_o = [
+            (int(a), int(bb)) for a, bb in zip(o0[i0 : i0 + qc], o1[i0 : i0 + qc])
+        ]
+        i0 += qc
+        zsn_o = [(int(a), int(bb)) for a, bb in zip(o0[i0:], o1[i0:])]
+        proofs.append(
+            Proof(
+                wires_cap=gl.to_u64(wires_tree.cap)[b],
+                zs_cap=gl.to_u64(zs_tree.cap)[b],
+                quotient_cap=gl.to_u64(quo_tree.cap)[b],
+                openings=Openings(
+                    fixed=fixed_o,
+                    wires=wires_o,
+                    zs_partials=zs_o,
+                    quotient=quo_o,
+                    zs_next=zsn_o,
+                ),
+                fri=fri_proof,
+                public_inputs=[int(x) for x in public_inputs[b]],
+            )
+        )
+    return proofs
+
+
+def _lde_batched(coeffs: GF, rate_bits: int) -> GF:
+    n = coeffs.shape[-1]
+    big = n << rate_bits
+    pad = gl.zeros(coeffs.shape[:-1] + (big - n,))
+    return ntt.coset_ntt(gl.concat([coeffs, pad], axis=-1), SHIFT)
+
+
+def _leaves_batched(lde_nat: GF) -> GF:
+    rev = fri_mod.bit_reverse(lde_nat)  # (B, C, big)
+    return GF(jnp.swapaxes(rev.v, 1, 2))  # (B, big, C)
+
+
+def _ext_leaves_batched(v: GF2) -> GF:
+    B, m = v.c0.shape
+    cols = gl.stack(
+        [
+            GF(v.c0.v[:, 0::2]),
+            GF(v.c1.v[:, 0::2]),
+            GF(v.c0.v[:, 1::2]),
+            GF(v.c1.v[:, 1::2]),
+        ],
+        axis=-1,
+    )  # (B, m/2, 4)
+    return cols
+
+
+def _fold_batched(v: GF2, beta: GF2, inv_2x: GF) -> GF2:
+    e = GF2(GF(v.c0.v[:, 0::2]), GF(v.c1.v[:, 0::2]))
+    o = GF2(GF(v.c0.v[:, 1::2]), GF(v.c1.v[:, 1::2]))
+    half_sum = ext2.scalar_mul(
+        ext2.add(e, o), gl.full(e.c0.shape, (P + 1) // 2)
+    )
+    diff = ext2.scalar_mul(ext2.sub(e, o), GF(inv_2x.v[None]))
+    beta_b = GF2(GF(beta.c0.v[:, None]), GF(beta.c1.v[:, None]))
+    return ext2.add(half_sum, ext2.mul(beta_b, diff))
+
+
+@jax.jit
+def _combine_batched(
+    all_lde: GF, z_lde: GF, opens1: GF2, opens2: GF2, alpha: GF2,
+    zeta: GF2, gzeta: GF2,
+) -> GF2:
+    B, C1, big = all_lde.shape
+    C2 = z_lde.shape[1]
+    log_big = big.bit_length() - 1
+    x_t = np.asarray(
+        [(SHIFT * int(v)) % P for v in ntt._power_table(
+            ntt._root_of_unity(log_big), big
+        )],
+        dtype=np.uint64,
+    )
+    x = gl.from_u64(x_t)
+
+    apows = _ext_powers_batched(alpha, max(C1, C2) + 1)  # (k, B)
+
+    def batch_sum(lde: GF, opens: GF2, k: int):
+        ap = GF2(
+            GF(jnp.swapaxes(apows.c0.v[:k], 0, 1)),
+            GF(jnp.swapaxes(apows.c1.v[:k], 0, 1)),
+        )  # (B, k)
+        acc0 = gl.sum_axis(gl.mul(lde, GF(ap.c0.v[:, :, None])), 1)  # (B, big)
+        acc1 = gl.sum_axis(gl.mul(lde, GF(ap.c1.v[:, :, None])), 1)
+        o = ext2.sum_axis(ext2.mul(ap, opens), axis=1)  # (B,)
+        return ext2.sub(
+            GF2(acc0, acc1),
+            GF2(GF(o.c0.v[:, None]), GF(o.c1.v[:, None])),
+        )
+
+    num1 = batch_sum(all_lde, opens1, C1)
+    num2 = batch_sum(z_lde, opens2, C2)
+    xe = GF2(GF(jnp.broadcast_to(x.v[None], (B, big))), gl.zeros((B, big)))
+
+    def bscalar(z: GF2):
+        return GF2(GF(z.c0.v[:, None]), GF(z.c1.v[:, None]))
+
+    def ext_inv(x_: GF2):
+        nrm = gl.sub(gl.sqr(x_.c0), gl.mul_const(gl.sqr(x_.c1), ext2.W))
+        ninv = gl.inv(nrm)
+        return GF2(gl.mul(x_.c0, ninv), gl.mul(gl.neg(x_.c1), ninv))
+
+    inv1 = ext_inv(ext2.sub(xe, bscalar(zeta)))
+    inv2 = ext_inv(ext2.sub(xe, bscalar(gzeta)))
+    q1 = ext2.mul(num1, inv1)
+    q2 = ext2.mul(num2, inv2)
+    shift_idx = C1
+    shift = GF2(GF(apows.c0.v[shift_idx]), GF(apows.c1.v[shift_idx]))  # (B,)
+    q2s = ext2.mul(q2, bscalar(shift))
+    return ext2.add(q1, q2s)

@@ -33,6 +33,7 @@ _GATE_REGISTRY = {
     "PublicInputGate": lambda kw: G.PublicInputGate(),
     "Poseidon2FullRoundGate": lambda kw: G.Poseidon2FullRoundGate(kw["first"]),
     "Poseidon2PartialRoundGate": lambda kw: G.Poseidon2PartialRoundGate(),
+    "Poseidon2Gate": lambda kw: G.Poseidon2Gate(),
     "BitDecomposeGate": lambda kw: G.BitDecomposeGate(kw["num_ops"], kw["bits"]),
     "IsZeroGate": lambda kw: G.IsZeroGate(kw["num_ops"]),
 }

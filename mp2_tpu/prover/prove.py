@@ -91,7 +91,7 @@ class CircuitData:
         cfg = builder.config
         rows = builder.rows
         n_real = len(rows)
-        n = max(8, 1 << (n_real - 1).bit_length())
+        n = max(8, getattr(builder, "_min_rows", 0), 1 << (n_real - 1).bit_length())
         while len(rows) < n:
             rows.append(type(rows[0])(G.NoopGate(), []))
         log_n = n.bit_length() - 1
@@ -355,6 +355,20 @@ def _gate_terms(data: CircuitData, alg, sel, consts, wires, extras) -> List:
 # ---------------------------------------------------------------------------
 
 
+# jitted prover stages shared across circuits of one SHAPE (the wrap chain
+# produces many distinct circuits with identical shape; re-tracing the big
+# quotient graph per circuit would dominate)
+_SHAPE_JITS: Dict = {}
+
+
+def _shape_key(data: CircuitData):
+    return (
+        data.n,
+        data.config,
+        tuple(name for name, _ in data.gate_types),
+    )
+
+
 def prove(data: CircuitData, witness: np.ndarray, public_inputs: List[int]) -> Proof:
     cfg = data.config
     n, log_n = data.n, data.log_n
@@ -389,9 +403,12 @@ def prove(data: CircuitData, witness: np.ndarray, public_inputs: List[int]) -> P
 
     alphas = [int(gl.to_u64(c)) for c in ch.get_n_challenges(nc)]
 
-    # --- quotient (jitted per circuit) ---
+    # --- quotient (jitted per circuit SHAPE) ---
     if data._quotient_jit is None:
-        data._quotient_jit = _make_quotient_fn(data)
+        shape_jits = _SHAPE_JITS.setdefault(_shape_key(data), {})
+        if "quotient" not in shape_jits:
+            shape_jits["quotient"] = _make_quotient_fn(data)
+        data._quotient_jit = shape_jits["quotient"]
     quo_vals = data._quotient_jit(
         data.fixed_lde,
         wire_lde,
@@ -418,7 +435,10 @@ def prove(data: CircuitData, witness: np.ndarray, public_inputs: List[int]) -> P
     )
     g = ntt._root_of_unity(log_n)
     if data._openings_jit is None:
-        data._openings_jit = _make_openings_fn(g)
+        shape_jits = _SHAPE_JITS.setdefault(_shape_key(data), {})
+        if "openings" not in shape_jits:
+            shape_jits["openings"] = _make_openings_fn(g)
+        data._openings_jit = shape_jits["openings"]
     z_coeffs_only = gl.take(zs_coeffs, z_cols_idx, axis=0)
     fixed_open, wires_open, zsp_open, quo_open, zs_next_open, gzeta = (
         data._openings_jit(
@@ -455,7 +475,10 @@ def prove(data: CircuitData, witness: np.ndarray, public_inputs: List[int]) -> P
         gl.concat([fixed_open.c1, wires_open.c1, zsp_open.c1, quo_open.c1], 0),
     )
     if data._combine_jit is None:
-        data._combine_jit = jax.jit(_combine_fri_poly)
+        shape_jits = _SHAPE_JITS.setdefault(_shape_key(data), {})
+        if "combine" not in shape_jits:
+            shape_jits["combine"] = jax.jit(_combine_fri_poly)
+        data._combine_jit = shape_jits["combine"]
     final_evals = data._combine_jit(
         all_lde, z_lde_only, opens1, zs_next_open, alpha_fri, zeta, gzeta
     )

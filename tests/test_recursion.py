@@ -1,0 +1,156 @@
+"""In-circuit recursion: the universal verifier gadget, wrap chain, and
+fixed-VK aggregation (counterpart of recursion-framework/src tests).
+
+The fast tier builds the outer verifier circuit for a tiny inner proof and
+checks constraint satisfaction (and rejection of tampered proofs) WITHOUT
+proving the outer circuit — the outer prove path is exercised by the slow
+tier (MP2_SLOW=1) and by demos/bench on real hardware.
+"""
+
+import copy
+import os
+
+import pytest
+
+from mp2_tpu.circuit.builder import CircuitBuilder
+from mp2_tpu.hash import poseidon2_host as p2h
+from mp2_tpu.prover.config import test_config
+from mp2_tpu.prover.prove import prove
+from mp2_tpu.prover.verify import verify
+from mp2_tpu.recursion.verifier_gadget import (
+    CommonData,
+    add_virtual_proof,
+    set_proof_witness,
+    verify_proof_circuit,
+)
+
+P = (1 << 64) - (1 << 32) + 1
+
+slow = pytest.mark.skipif(
+    not os.environ.get("MP2_SLOW"), reason="set MP2_SLOW=1 for prove-heavy tests"
+)
+
+
+@pytest.fixture(scope="module")
+def inner():
+    cfg = test_config()
+    b = CircuitBuilder(cfg)
+    xs = b.add_inputs(2)
+    h = b.hash_no_pad(xs)
+    b.register_public_inputs(h + xs)
+    data = b.build()
+    vals = [5, 7]
+    w = data.generate_witness(dict(zip(xs, vals)))
+    pis = list(p2h.hash_no_pad(vals)) + vals
+    proof = prove(data, w, pis)
+    assert verify(data, proof)
+    return data, proof, pis
+
+
+@pytest.fixture(scope="module")
+def outer(inner):
+    data, proof, pis = inner
+    common = CommonData.of(data)
+    b = CircuitBuilder(data.config)
+    pt = add_virtual_proof(b, common)
+    cap = [[b.constant(int(v)) for v in row] for row in data.fixed_cap_host]
+    verify_proof_circuit(b, common, pt, cap)
+    b.register_public_inputs(pt.public_inputs)
+    return b.build(), pt
+
+
+def test_verifier_gadget_accepts_valid_proof(outer, inner):
+    data, proof, pis = inner
+    outer_data, pt = outer
+    inputs = {}
+    set_proof_witness(inputs, pt, proof)
+    w = outer_data.generate_witness(inputs)
+    # every constraint of the in-circuit verifier is satisfied
+    outer_data.check_witness(w, pis)
+
+
+def test_verifier_gadget_rejects_tampered_opening(outer, inner):
+    data, proof, pis = inner
+    outer_data, pt = outer
+    bad = copy.deepcopy(proof)
+    a, b_ = bad.openings.wires[0]
+    bad.openings.wires[0] = ((a + 1) % P, b_)
+    inputs = {}
+    set_proof_witness(inputs, pt, bad)
+    with pytest.raises((ValueError, AssertionError)):
+        w = outer_data.generate_witness(inputs)
+        outer_data.check_witness(w, pis)
+
+
+def test_verifier_gadget_rejects_wrong_public_inputs(outer, inner):
+    data, proof, pis = inner
+    outer_data, pt = outer
+    bad_pis = list(pis)
+    bad_pis[4] = 99  # claim a different preimage
+    inputs = {}
+    set_proof_witness(inputs, pt, proof)
+    for t, v in zip(pt.public_inputs, bad_pis):
+        inputs[t] = v
+    with pytest.raises((ValueError, AssertionError)):
+        w = outer_data.generate_witness(inputs)
+        outer_data.check_witness(w, bad_pis)
+
+
+def test_verifier_gadget_rejects_shortened_fri(outer, inner):
+    """Removing a fold step breaks the witness structure (shape is fixed by
+    the circuit; a malleable-shape attack cannot be expressed at all)."""
+    data, proof, pis = inner
+    outer_data, pt = outer
+    bad = copy.deepcopy(proof)
+    for qr in bad.fri.query_rounds:
+        qr.steps = []
+    inputs = {}
+    with pytest.raises((AssertionError, IndexError, ValueError)):
+        set_proof_witness(inputs, pt, bad)
+        w = outer_data.generate_witness(inputs)
+        outer_data.check_witness(w, pis)
+
+
+@slow
+def test_fixed_vk_two_leaf_aggregation():
+    """End-to-end: two leaf proofs aggregated under one fixed VK, the
+    aggregation proof itself wrapped to the standard shape and verified by
+    ONE host check (BASELINE config 3 shape, reduced arity for CPU)."""
+    from mp2_tpu.recursion.runtime import RecursionFramework
+
+    cfg = test_config()
+    fw = RecursionFramework(cfg, num_user_pis=4, set_height=2)
+
+    def leaf_build(b):
+        x = b.add_input()
+        h = b.hash_no_pad([x])
+        b.register_public_inputs(h)
+
+        def assign(inputs, xv):
+            inputs[x] = xv
+
+        return assign
+
+    def agg_build(b, children):
+        l = children[0].public_inputs()[:4]
+        r = children[1].public_inputs()[:4]
+        h = b.hash_no_pad(l + r)
+        b.register_public_inputs(h)
+        return None
+
+    fw.add_leaf_circuit("leaf", leaf_build)
+    fw.add_aggregation_circuit("node", 2, agg_build)
+    vk = fw.finalize()
+
+    e1 = fw.prove_leaf("leaf", (11,), list(p2h.hash_no_pad([11])))
+    e2 = fw.prove_leaf("leaf", (22,), list(p2h.hash_no_pad([22])))
+    expected = p2h.hash_no_pad(
+        list(p2h.hash_no_pad([11])) + list(p2h.hash_no_pad([22]))
+    )
+    agg = fw.prove_aggregation("node", [e1, e2], (), list(expected))
+    assert fw.verify(agg)
+    assert tuple(agg.proof.public_inputs[-4:]) == vk
+
+    bad = copy.deepcopy(agg)
+    bad.proof.public_inputs[0] = (bad.proof.public_inputs[0] + 1) % P
+    assert not fw.verify(bad)
