@@ -285,6 +285,25 @@ def map_to_curve_point_circuit(
 # ---------------------------------------------------------------------------
 
 
+def curve_scalar_mul_hash128(
+    b: CircuitBuilder, h0: Target, h1: Target, p: CurveTarget
+) -> CurveTarget:
+    """digest.scalar_mul(hash_to_int(h)): the 128-bit scalar is the
+    canonical little-endian value of hash limbs (h[0], h[1])
+    (mp2-common/src/poseidon.rs:106-131 hash_to_int convention).
+    Double-and-add mirrors Point.scalar_mul bit-for-bit."""
+    from mp2_tpu.circuit.gadgets.gfp5 import canonical_u64_bits
+
+    bits = canonical_u64_bits(b, h0) + canonical_u64_bits(b, h1)
+    acc = curve_zero(b)
+    base = p
+    for i, bit in enumerate(bits):
+        acc = curve_select(b, bit, curve_add(b, acc, base), acc)
+        if i + 1 < len(bits):
+            base = curve_add(b, base, base)
+    return acc
+
+
 def curve_to_pi_targets(b: CircuitBuilder, p: CurveTarget) -> List[Target]:
     """x_w || y || is_inf with x_w = (x + 2/3) zeroed when neutral —
     mirror of Point.to_fields (CURVE_TARGET_LEN = 11)."""
@@ -295,3 +314,21 @@ def curve_to_pi_targets(b: CircuitBuilder, p: CurveTarget) -> List[Target]:
     out += [b.mul(c, not_inf) for c in p.y]
     out.append(p.is_neutral)
     return out
+
+
+def curve_from_pi_targets(
+    b: CircuitBuilder, pis: Sequence[Target]
+) -> CurveTarget:
+    """Inverse of curve_to_pi_targets (Point.from_fields): 11 targets
+    x_w || y || is_inf -> double-odd representative coordinates."""
+    assert len(pis) == 11
+    inf = pis[10]
+    b.connect(b.mul(inf, inf), inf)  # boolean
+    tt = q_constant(b, TWO_THIRDS)
+    x = q_sub(b, tuple(pis[0:5]), tt)
+    zero = q_zero(b)
+    return CurveTarget(
+        x=q_select(b, inf, zero, x),
+        y=q_select(b, inf, zero, tuple(pis[5:10])),
+        is_neutral=inf,
+    )

@@ -596,13 +596,15 @@ def _fold_batched(v: GF2, beta: GF2, inv_2x: GF) -> GF2:
     return ext2.add(half_sum, ext2.mul(beta_b, diff))
 
 
-@jax.jit
-def _combine_batched(
-    all_lde: GF, z_lde: GF, opens1: GF2, opens2: GF2, alpha: GF2,
-    zeta: GF2, gzeta: GF2,
-) -> GF2:
-    B, C1, big = all_lde.shape
-    C2 = z_lde.shape[1]
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _combine_invs(zeta: GF2, gzeta: GF2, big: int):
+    """(x - zeta)^-1 and (x - g zeta)^-1 over the LDE domain, batched.
+    Kept in its OWN jit: fusing the 64-bit inversion pow-chain into the big
+    combine graph sends XLA-CPU optimization superlinear."""
+    B = zeta.c0.shape[0]
     log_big = big.bit_length() - 1
     x_t = np.asarray(
         [(SHIFT * int(v)) % P for v in ntt._power_table(
@@ -611,7 +613,28 @@ def _combine_batched(
         dtype=np.uint64,
     )
     x = gl.from_u64(x_t)
+    xe = GF2(GF(jnp.broadcast_to(x.v[None], (B, big))), gl.zeros((B, big)))
 
+    def bscalar(z: GF2):
+        return GF2(GF(z.c0.v[:, None]), GF(z.c1.v[:, None]))
+
+    def ext_inv(x_: GF2):
+        nrm = gl.sub(gl.sqr(x_.c0), gl.mul_const(gl.sqr(x_.c1), ext2.W))
+        ninv = gl.inv(nrm)
+        return GF2(gl.mul(x_.c0, ninv), gl.mul(gl.neg(x_.c1), ninv))
+
+    inv1 = ext_inv(ext2.sub(xe, bscalar(zeta)))
+    inv2 = ext_inv(ext2.sub(xe, bscalar(gzeta)))
+    return inv1, inv2
+
+
+@jax.jit
+def _combine_core(
+    all_lde: GF, z_lde: GF, opens1: GF2, opens2: GF2, alpha: GF2,
+    inv1: GF2, inv2: GF2,
+) -> GF2:
+    B, C1, big = all_lde.shape
+    C2 = z_lde.shape[1]
     apows = _ext_powers_batched(alpha, max(C1, C2) + 1)  # (k, B)
 
     def batch_sum(lde: GF, opens: GF2, k: int):
@@ -629,21 +652,17 @@ def _combine_batched(
 
     num1 = batch_sum(all_lde, opens1, C1)
     num2 = batch_sum(z_lde, opens2, C2)
-    xe = GF2(GF(jnp.broadcast_to(x.v[None], (B, big))), gl.zeros((B, big)))
-
-    def bscalar(z: GF2):
-        return GF2(GF(z.c0.v[:, None]), GF(z.c1.v[:, None]))
-
-    def ext_inv(x_: GF2):
-        nrm = gl.sub(gl.sqr(x_.c0), gl.mul_const(gl.sqr(x_.c1), ext2.W))
-        ninv = gl.inv(nrm)
-        return GF2(gl.mul(x_.c0, ninv), gl.mul(gl.neg(x_.c1), ninv))
-
-    inv1 = ext_inv(ext2.sub(xe, bscalar(zeta)))
-    inv2 = ext_inv(ext2.sub(xe, bscalar(gzeta)))
     q1 = ext2.mul(num1, inv1)
     q2 = ext2.mul(num2, inv2)
-    shift_idx = C1
-    shift = GF2(GF(apows.c0.v[shift_idx]), GF(apows.c1.v[shift_idx]))  # (B,)
-    q2s = ext2.mul(q2, bscalar(shift))
+    shift = GF2(GF(apows.c0.v[C1]), GF(apows.c1.v[C1]))  # (B,)
+    q2s = ext2.mul(q2, GF2(GF(shift.c0.v[:, None]), GF(shift.c1.v[:, None])))
     return ext2.add(q1, q2s)
+
+
+def _combine_batched(
+    all_lde: GF, z_lde: GF, opens1: GF2, opens2: GF2, alpha: GF2,
+    zeta: GF2, gzeta: GF2,
+) -> GF2:
+    big = all_lde.shape[-1]
+    inv1, inv2 = _combine_invs(zeta, gzeta, big)
+    return _combine_core(all_lde, z_lde, opens1, opens2, alpha, inv1, inv2)

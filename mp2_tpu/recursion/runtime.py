@@ -76,6 +76,8 @@ class _Member:
     sd_targets: List[Target]
     uvs: List[UniversalVerifierTargets]
     wrap: Optional[WrapCircuit] = None
+    # cross-set verifiers: (foreign framework, targets) per slot
+    foreign_uvs: List = field(default_factory=list)
 
     @property
     def digest(self) -> HashOut:
@@ -108,18 +110,38 @@ class RecursionFramework:
         self._finish_member(name, b, assign, [])
 
     def add_aggregation_circuit(
-        self, name: str, n_children: int, build_fn: Callable
+        self,
+        name: str,
+        n_children: int,
+        build_fn: Callable,
+        foreign: Sequence["RecursionFramework"] = (),
     ) -> None:
-        """build_fn(b, children: List[UniversalVerifierTargets]) — children's
-        claimed public inputs are children[i].public_inputs() targets."""
+        """build_fn(b, children, foreign_children) — children's claimed
+        public inputs are children[i].public_inputs() targets.
+
+        `foreign`: one FINALIZED foreign framework per cross-set verifier
+        slot (the reference's RecursiveCircuitsVerifierGagdet,
+        framework.rs:188-267): the foreign set digest is baked as constants,
+        chaining the layers' VKs like build_circuits_params does."""
         b = CircuitBuilder(self.config)
         sd = b.add_inputs(4)
         uvs = [
             add_universal_verifier(b, self.standard, self.set_height, sd)
             for _ in range(n_children)
         ]
-        assign = build_fn(b, uvs)
-        self._finish_member(name, b, assign, uvs, sd)
+        fuvs = []
+        for fw in foreign:
+            assert fw.circuit_set is not None, "foreign set must be finalized"
+            fsd = [b.constant(int(v)) for v in fw.set_digest]
+            fuvs.append(
+                add_universal_verifier(b, fw.standard, fw.set_height, fsd)
+            )
+        if fuvs:
+            assign = build_fn(b, uvs, fuvs)
+        else:
+            assign = build_fn(b, uvs)
+        m = self._finish_member(name, b, assign, uvs, sd)
+        m.foreign_uvs = list(zip(foreign, fuvs))
 
     def _finish_member(self, name, b, assign, uvs, sd=None):
         assert name not in self.members, f"duplicate member {name}"
@@ -131,10 +153,12 @@ class RecursionFramework:
             sd = b.add_inputs(4)
         b.register_public_inputs(sd)
         data = b.build()
-        self.members[name] = _Member(
+        m = _Member(
             name=name, data=data, assign=assign, sd_targets=sd, uvs=uvs
         )
+        self.members[name] = m
         self.member_order.append(name)
+        return m
 
     # ------------------------------------------------------------ finalize
     def _wrap_for(self, data: CircuitData) -> WrapCircuit:
@@ -211,25 +235,30 @@ class RecursionFramework:
         children: Sequence[WrappedEnvelope],
         user_args: Sequence,
         user_pis: Sequence[int],
+        foreign_children: Sequence[WrappedEnvelope] = (),
     ) -> WrappedEnvelope:
         m = self.members[name]
         assert len(children) == len(m.uvs), "child count mismatch"
+        assert len(foreign_children) == len(m.foreign_uvs), (
+            "foreign child count mismatch"
+        )
         inputs: Dict = {}
         for uv, env in zip(m.uvs, children):
-            child = self.members[env.member]
-            idx = self.member_order.index(env.member)
-            path = self.circuit_set.membership_path(child.digest)
-            set_universal_witness(
-                inputs,
-                uv,
-                env.proof,
-                child.wrap.data.fixed_cap_host,
-                idx,
-                path,
-            )
+            self._set_child_witness(inputs, self, uv, env)
+        for (fw, uv), env in zip(m.foreign_uvs, foreign_children):
+            self._set_child_witness(inputs, fw, uv, env)
         if m.assign is not None:
             m.assign(inputs, *user_args)
         return self._prove_member(m, inputs, user_pis)
+
+    @staticmethod
+    def _set_child_witness(inputs, fw, uv, env):
+        child = fw.members[env.member]
+        idx = fw.member_order.index(env.member)
+        path = fw.circuit_set.membership_path(child.digest)
+        set_universal_witness(
+            inputs, uv, env.proof, child.wrap.data.fixed_cap_host, idx, path
+        )
 
     # -------------------------------------------------------------- verify
     def verify(self, env: WrappedEnvelope) -> bool:
