@@ -71,7 +71,36 @@ def main():
         "poseidon2_batch": POSEIDON_BATCH,
     }
 
-    if os.environ.get("BENCH_PROOFS"):
+    if os.environ.get("BENCH_PROOFS", "1") != "0":
+        # batched map-phase throughput: B independent tree-node witnesses
+        # proved per dispatch sequence (prover/batch.py), each proof
+        # individually host-verifiable
+        from mp2_tpu.hash import poseidon2_host as p2h
+        from mp2_tpu.prover.batch import prove_batch
+        from mp2_tpu.recursion.tp2_backend import _build_tree_node
+        from mp2_tpu.prover.config import test_config
+
+        B = int(os.environ.get("BENCH_PROOF_BATCH", "32"))
+        data, input_targets = _build_tree_node(test_config())
+        wits, pis_list = [], []
+        for i in range(B):
+            vals = [int(v) for v in rng.integers(0, 2**31, 37)]
+            h = p2h.hash_no_pad(vals)
+            lh, rh = vals[0:4], vals[4:8]
+            mn, mx = vals[8:16], vals[16:24]
+            ident, value, inner = vals[24], vals[25:33], vals[33:37]
+            pis = list(h) + [ident] + value + mn + mx + lh + rh + inner
+            wits.append(data.generate_witness(dict(zip(input_targets, vals))))
+            pis_list.append(pis)
+        wits = np.stack(wits)
+        prove_batch(data, wits, pis_list)  # compile + warm
+        t0 = time.perf_counter()
+        proofs = prove_batch(data, wits, pis_list)
+        dt = time.perf_counter() - t0
+        extra["tree_node_proofs_per_s"] = round(B / dt, 2)
+        extra["proof_batch"] = B
+
+    if os.environ.get("BENCH_PROOFS_SERIAL"):
         # repeat-prove throughput of the verifiable-DB tree-node circuit
         # (map-phase pattern: one compiled circuit, many witnesses)
         from mp2_tpu.recursion.framework import RecursiveCircuits

@@ -118,6 +118,197 @@ def _compiled(log_n: int, n_tiles: int, inverse: bool):
     )
 
 
+def _bitrev_fix(lo, hi, log_n):
+    """In-VMEM lane bit-reversal permutation via bit-pair swap rolls:
+    swapping index bits (a, b) moves elements by +-d = 2^b - 2^a, realized
+    as two circular rolls + selects (no gather needed)."""
+    n = lo.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, lo.ndim - 1)
+    for a in range(log_n // 2):
+        b_ = log_n - 1 - a
+        d = (1 << b_) - (1 << a)
+        bit_a = (lane >> a) & jnp.uint32(1)
+        bit_b = (lane >> b_) & jnp.uint32(1)
+        mask_recv_hi = (bit_b == 1) & (bit_a == 0)  # receives from p - d
+        mask_recv_lo = (bit_b == 0) & (bit_a == 1)  # receives from p + d
+        out = []
+        for limb in (lo, hi):
+            fwd = pltpu.roll(limb, d, limb.ndim - 1)       # out[i] = x[i-d]
+            bwd = pltpu.roll(limb, n - d, limb.ndim - 1)   # out[i] = x[i+d]
+            out.append(
+                jnp.where(mask_recv_hi, fwd, jnp.where(mask_recv_lo, bwd, limb))
+            )
+        lo, hi = out
+    return lo, hi
+
+
+def _make_fused_kernel(log_n: int, with_twiddle: bool):
+    """Natural-order-input NTT tile kernel: in-VMEM bitrev + all DIT stages
+    (+ optional per-element twiddle block + scale row)."""
+    n = 1 << log_n
+
+    def kernel(*refs):
+        if with_twiddle:
+            x_ref, twlo_ref, twhi_ref, blo_ref, bhi_ref, out_ref = refs
+        else:
+            x_ref, twlo_ref, twhi_ref, out_ref = refs
+        lo = x_ref[:TILE_R, :]
+        hi = x_ref[TILE_R:, :]
+        lo, hi = _bitrev_fix(lo, hi, log_n)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (TILE_R, n), 1)
+        for s in range(log_n):
+            h = 1 << s
+            twl = twlo_ref[s, :][None, :]
+            twh = twhi_ref[s, :][None, :]
+            yl, yh = K.mul(lo, hi, jnp.broadcast_to(twl, lo.shape),
+                           jnp.broadcast_to(twh, hi.shape))
+            yl_l = pltpu.roll(yl, n - h, 1)
+            yh_l = pltpu.roll(yh, n - h, 1)
+            xl_r = pltpu.roll(lo, h, 1)
+            xh_r = pltpu.roll(hi, h, 1)
+            al, ah = K.add(lo, hi, yl_l, yh_l)
+            nbl, nbh = _neg(yl, yh)
+            bl, bh = K.add(xl_r, xh_r, nbl, nbh)
+            is_low = ((lane >> s) & jnp.uint32(1)) == jnp.uint32(0)
+            lo = jnp.where(is_low, al, bl)
+            hi = jnp.where(is_low, ah, bh)
+        twl = twlo_ref[log_n, :][None, :]
+        twh = twhi_ref[log_n, :][None, :]
+        lo, hi = K.mul(lo, hi, jnp.broadcast_to(twl, lo.shape),
+                       jnp.broadcast_to(twh, hi.shape))
+        if with_twiddle:
+            lo, hi = K.mul(lo, hi, blo_ref[:TILE_R, :], bhi_ref[:TILE_R, :])
+        out_ref[:TILE_R, :] = lo
+        out_ref[TILE_R:, :] = hi
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _compiled_fused(log_n: int, n_tiles: int, with_twiddle: bool,
+                    tiles_per_batch: int, interpret: bool = False):
+    n = 1 << log_n
+    specs = [
+        pl.BlockSpec((2 * TILE_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((log_n + 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((log_n + 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if with_twiddle:
+        # one (n2, n1) table shared by every batch element: block row
+        # selected modulo the per-batch tile count
+        specs += [
+            pl.BlockSpec(
+                (TILE_R, n),
+                lambda i: (i % tiles_per_batch, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_R, n),
+                lambda i: (i % tiles_per_batch, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    return pl.pallas_call(
+        _make_fused_kernel(log_n, with_twiddle),
+        grid=(n_tiles,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (2 * TILE_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 2 * TILE_R, n), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=None)
+def _tables_unit_scale(log_n: int, inverse: bool):
+    """Stage twiddles with a UNIT final-scale row (the 1/n scaling of a
+    full inverse transform is applied once, in the second pass)."""
+    lo, hi = _tables(log_n, inverse)
+    lo = lo.copy(); hi = hi.copy()
+    lo[log_n, :] = 1
+    hi[log_n, :] = 0
+    return lo, hi
+
+
+@lru_cache(maxsize=None)
+def _tables_full_scale(log_n: int, inverse: bool, full_log: int):
+    """Stage twiddles whose final row scales by (2^full_log)^-1."""
+    lo, hi = _tables(log_n, inverse)
+    if inverse:
+        lo = lo.copy(); hi = hi.copy()
+        inv_n = pow(1 << full_log, P - 2, P)
+        lo[log_n, :] = inv_n & 0xFFFFFFFF
+        hi[log_n, :] = inv_n >> 32
+    return lo, hi
+
+
+@lru_cache(maxsize=None)
+def _mid_twiddles_u32(log_n: int, inverse: bool):
+    """w^(k1*j2) as (n2, n1) u32 pairs for the fused first pass."""
+    from mp2_tpu.prover import ntt as ntt_mod
+
+    tw = ntt_mod._four_step_twiddles(log_n, inverse)  # (n1, n2) u64
+    twt = np.ascontiguousarray(tw.T)  # (n2, n1)
+    return (twt & 0xFFFFFFFF).astype(np.uint32), (twt >> 32).astype(np.uint32)
+
+
+def _run_fused(lo, hi, log_n, tables, tw_pair, tiles_per_batch=1):
+    """One fused pass over (R, n) u32 limb planes."""
+    R, n = lo.shape
+    assert R % TILE_R == 0, "row count must align to the tile height"
+    n_tiles = R // TILE_R
+    lo_t = lo.reshape(n_tiles, TILE_R, n)
+    hi_t = hi.reshape(n_tiles, TILE_R, n)
+    st = jnp.concatenate([lo_t, hi_t], axis=1).reshape(n_tiles * 2 * TILE_R, n)
+    twlo, twhi = tables
+    args = [st, jnp.asarray(twlo), jnp.asarray(twhi)]
+    if tw_pair is not None:
+        args += [jnp.asarray(tw_pair[0]), jnp.asarray(tw_pair[1])]
+    interpret = jax.devices()[0].platform == "cpu"
+    with jax.enable_x64(False):
+        out = _compiled_fused(
+            log_n, n_tiles, tw_pair is not None, tiles_per_batch, interpret
+        )(*args)
+    out_t = out.reshape(n_tiles, 2 * TILE_R, n)
+    return (
+        out_t[:, :TILE_R].reshape(R, n),
+        out_t[:, TILE_R:].reshape(R, n),
+    )
+
+
+def ntt_four_step_fused(xv: jax.Array, inverse: bool) -> jax.Array:
+    """Fused four-step NTT on (B, n) u64 natural-order vectors: two pallas
+    passes (in-VMEM bitrev + stages; twiddle fused into pass 1) linked by
+    u32-plane transposes — no host gathers, no u64 emulation round-trips."""
+    B, n = xv.shape
+    log_n = n.bit_length() - 1
+    log1 = log_n // 2
+    log2 = log_n - log1
+    n1, n2 = 1 << log1, 1 << log2
+
+    lo = (xv & np.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(B, n1, n2)
+    hi = (xv >> np.uint64(32)).astype(jnp.uint32).reshape(B, n1, n2)
+    # pass 1: column transforms (length n1) + mid twiddle
+    lo_t = jnp.swapaxes(lo, 1, 2).reshape(B * n2, n1)
+    hi_t = jnp.swapaxes(hi, 1, 2).reshape(B * n2, n1)
+    mtl, mth = _mid_twiddles_u32(log_n, inverse)
+    a_lo, a_hi = _run_fused(
+        lo_t, hi_t, log1, _tables_unit_scale(log1, inverse), (mtl, mth),
+        tiles_per_batch=n2 // TILE_R,
+    )
+    # pass 2: row transforms (length n2), full 1/n scale when inverse
+    b_lo = jnp.swapaxes(a_lo.reshape(B, n2, n1), 1, 2).reshape(B * n1, n2)
+    b_hi = jnp.swapaxes(a_hi.reshape(B, n2, n1), 1, 2).reshape(B * n1, n2)
+    c_lo, c_hi = _run_fused(
+        b_lo, b_hi, log2, _tables_full_scale(log2, inverse, log_n), None
+    )
+    # output order: y[k1 + n1 k2] = C[k1, k2] transposed
+    y_lo = jnp.swapaxes(c_lo.reshape(B, n1, n2), 1, 2).reshape(B, n)
+    y_hi = jnp.swapaxes(c_hi.reshape(B, n1, n2), 1, 2).reshape(B, n)
+    return y_lo.astype(jnp.uint64) | (y_hi.astype(jnp.uint64) << np.uint64(32))
+
+
 def ntt_stages_bitrev_input(xv: jax.Array, inverse: bool) -> jax.Array:
     """All butterfly stages on (B, n) u64 values ALREADY in bit-reversed
     order; returns natural-order transform (scaled by n^-1 if inverse)."""

@@ -165,6 +165,27 @@ def _four_step_twiddles(log_n: int, inverse: bool) -> np.ndarray:
 
 def _ntt_four_step(x: GF, inverse: bool) -> GF:
     """Bailey: view n = n1*n2 as (n1, n2) row-major.
+
+    On TPU the whole decomposition runs as the FUSED pallas pipeline
+    (ops/ntt_pallas.ntt_four_step_fused): two in-VMEM kernels (bitrev +
+    stages, mid twiddle fused into pass 1) linked by u32-plane transposes.
+    """
+    if _pallas_ntt_available():
+        try:
+            from mp2_tpu.ops.ntt_pallas import ntt_four_step_fused
+
+            batch = x.shape[:-1]
+            n = x.shape[-1]
+            flat = x.v.reshape(-1, n)
+            out = ntt_four_step_fused(flat, inverse)
+            return GF(out.reshape(batch + (n,)))
+        except Exception:
+            _pallas_ntt_state["ok"] = False
+    return _ntt_four_step_xla(x, inverse)
+
+
+def _ntt_four_step_xla(x: GF, inverse: bool) -> GF:
+    """Bailey: view n = n1*n2 as (n1, n2) row-major.
     y[k1 + n1*k2] = sum_{j1,j2} x[j1*n2 + j2] w^((j1*n2+j2)(k1 + n1 k2))
     = NTT_j2( w^(j2 k1) * NTT_j1(x[:, j2])[k1] )[k2]   — i.e.
       1) transform the columns (axis 0), 2) twiddle by w^(k1*j2),

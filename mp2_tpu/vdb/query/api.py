@@ -55,9 +55,12 @@ class QueryResult:
     chunks: List[List[Tuple[int, int]]]  # proving plan: [(block, row_idx)]
 
 
-def placeholder_hash(names: Sequence[str], ph: Placeholders, bounds) -> Tuple[int, int, int, int]:
+def placeholder_hash(
+    names: Sequence[str], ph: Placeholders, bounds, num_slots: int = None
+) -> Tuple[int, int, int, int]:
     """Commitment to the placeholder values (revelation/placeholders_check.rs
-    equivalent): H(min || max || (name_hash, value-limbs)*)."""
+    equivalent): H(min || max || (name_hash, value-limbs)*).  `num_slots`
+    pads to the universal circuit's fixed placeholder bank."""
     from mp2_tpu.utils.u256 import u256_to_fields
 
     inputs: List[int] = u256_to_fields(bounds.min_block) + u256_to_fields(
@@ -66,6 +69,8 @@ def placeholder_hash(names: Sequence[str], ph: Placeholders, bounds) -> Tuple[in
     for n in names:
         inputs.append(p2h.hash_no_pad([ord(c) for c in n])[0])
         inputs.extend(u256_to_fields(ph.get(n)))
+    if num_slots is not None:
+        inputs.extend([0] * (9 * (num_slots - len(names))))
     return p2h.hash_no_pad(inputs)
 
 

@@ -242,22 +242,40 @@ def computational_hash(
     predicate_ops: Sequence[BasicOperation],
     rs: ResultStructure,
     column_ids: Sequence[int],
+    num_predicate_slots: int = None,
+    num_result_slots: int = None,
+    num_output_slots: int = None,
 ) -> Tuple[int, int, int, int]:
     """Poseidon commitment to (column ids, predicate structure, result
-    structure, aggregations, distinct)."""
+    structure, aggregations, distinct).
+
+    The slot counts pad the encoding to the universal circuit's fixed
+    bounds (inactive slots contribute zeros), so the in-circuit hash over
+    MAX slots reproduces this value exactly; without them the encoding is
+    exact-length (the per-query compiled path)."""
+    pslots = len(predicate_ops) if num_predicate_slots is None else num_predicate_slots
+    rslots = (
+        len(rs.result_operations) if num_result_slots is None else num_result_slots
+    )
+    oslots = len(rs.output_items) if num_output_slots is None else num_output_slots
     inputs: List[int] = [len(column_ids)] + list(column_ids)
-    for tag, ops in ((1, predicate_ops), (2, rs.result_operations)):
+    for tag, ops, slots in (
+        (1, predicate_ops, pslots),
+        (2, rs.result_operations, rslots),
+    ):
         inputs.append(tag)
         inputs.append(len(ops))
         for op in ops:
             inputs.append(int(op.op))
             inputs.extend(_operand_fields(op.first))
             inputs.extend(_operand_fields(op.second))
+        inputs.extend([0] * (7 * (slots - len(ops))))
     inputs.append(3)
     for item, out_id, agg in zip(rs.output_items, rs.output_ids, rs.aggregations):
         inputs.extend(
             [0 if item.kind == "column" else 1, item.index, out_id, int(agg)]
         )
+    inputs.extend([0] * (4 * (oslots - len(rs.output_items))))
     inputs.append(4 if rs.distinct else 5)
     return p2h.hash_no_pad(inputs)
 
