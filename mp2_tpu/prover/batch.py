@@ -290,11 +290,11 @@ def _eval_at_ext_batched(coeffs: GF, zpows: GF2) -> GF2:
     return GF2(c0, c1)
 
 
-def prove_batch(
-    data: CircuitData,
-    witnesses: np.ndarray,  # (B, n, W) uint64
-    public_inputs: Sequence[Sequence[int]],
-) -> List[Proof]:
+def _stage1_fn(data: CircuitData, witnesses_u64, pi_h):
+    """The ENTIRE device part of the batched prover up to the grinding
+    point, traceable as ONE jit: through the axon tunnel every eager
+    dispatch costs a round trip, so the round-1 serial prover was latency-
+    bound; a single compiled program amortizes it over the whole batch."""
     cfg = data.config
     n, log_n = data.n, data.log_n
     W = cfg.num_wires
@@ -302,22 +302,17 @@ def prove_batch(
     rate = cfg.fri.rate_bits
     big = n << rate
     cap_h = min(cfg.fri.cap_height, log_n)
-    B = witnesses.shape[0]
-    assert len(public_inputs) == B
-
-    pi_hashes = np.array(
-        [p2h.hash_no_pad(list(pis)) for pis in public_inputs], dtype=np.uint64
-    )  # (B, 4)
+    B = witnesses_u64.shape[0]
 
     ch = Challenger(batch=(B,))
     dig = np.broadcast_to(
         np.array(data.circuit_digest, dtype=np.uint64), (B, 4)
     )
-    ch.observe(gl.from_u64(np.ascontiguousarray(dig)))
-    ch.observe(gl.from_u64(pi_hashes))
+    ch.observe(GF(jnp.asarray(np.ascontiguousarray(dig))))
+    ch.observe(GF(pi_h))
 
     # --- wires ---
-    wire_vals = gl.from_u64(np.swapaxes(witnesses, 1, 2))  # (B, W, n)
+    wire_vals = GF(jnp.swapaxes(witnesses_u64, 1, 2))  # (B, W, n)
     wire_coeffs = ntt.intt(wire_vals)
     wire_lde = _lde_batched(wire_coeffs, rate)
     wires_tree = BatchedMerkleTree(_leaves_batched(wire_lde), cap_height=cap_h)
@@ -327,10 +322,8 @@ def prove_batch(
     gammas = gl.stack(ch.get_n_challenges(nc), axis=0)
 
     # --- permutation columns ---
-    jits = _SHAPE_JITS.setdefault(_shape_key(data), {})
-    if "zs_batched" not in jits:
-        jits["zs_batched"] = _make_zs_fn_batched(data)
-    zs_vals = jits["zs_batched"](gl.from_u64(witnesses), betas, gammas)
+    zs_fn = _make_zs_fn_batched(data)
+    zs_vals = zs_fn(GF(witnesses_u64), betas, gammas)
     zs_coeffs = ntt.intt(zs_vals)
     zs_lde = _lde_batched(zs_coeffs, rate)
     zs_tree = BatchedMerkleTree(_leaves_batched(zs_lde), cap_height=cap_h)
@@ -339,11 +332,9 @@ def prove_batch(
     alphas = gl.stack(ch.get_n_challenges(nc), axis=0)
 
     # --- quotient ---
-    if "quotient_batched" not in jits:
-        jits["quotient_batched"] = _make_quotient_fn_batched(data)
-    quo_vals = jits["quotient_batched"](
-        data.fixed_lde, wire_lde, zs_lde, betas, gammas, alphas,
-        gl.from_u64(pi_hashes),
+    quo_fn = _make_quotient_fn_batched(data)
+    quo_vals = quo_fn(
+        data.fixed_lde, wire_lde, zs_lde, betas, gammas, alphas, GF(pi_h)
     )  # (B, nc, big)
     quo_coeffs_full = ntt.coset_intt(quo_vals, SHIFT)
     qk = cfg.quotient_degree_factor
@@ -390,7 +381,60 @@ def prove_batch(
     ch.observe(inter)
     alpha_fri = ch.get_extension_challenge()
 
-    # --- combined FRI polynomial ---
+    return {
+        "caps": {
+            "wires": wires_tree.cap.v,
+            "zs": zs_tree.cap.v,
+            "quo": quo_tree.cap.v,
+        },
+        "opens": (all_opens.c0.v, all_opens.c1.v),
+        "zeta": (zeta.c0.v, zeta.c1.v),
+        "gzeta": (gzeta.c0.v, gzeta.c1.v),
+        "alpha_fri": (alpha_fri.c0.v, alpha_fri.c1.v),
+        "wire_lde": wire_lde.v,
+        "zs_lde": zs_lde.v,
+        "quo_lde": quo_lde.v,
+        "state": jnp.stack([st.v for st in ch._state], axis=0),
+        "buffer": (
+            jnp.stack([x.v for x in ch._input_buffer], axis=0)
+            if ch._input_buffer
+            else jnp.zeros((0, B), dtype=jnp.uint64)
+        ),
+        "trees": {
+            "wires": (wires_tree.leaves.v,
+                      [l.v for l in wires_tree.digest_levels[:-1]]),
+            "zs": (zs_tree.leaves.v, [l.v for l in zs_tree.digest_levels[:-1]]),
+            "quo": (quo_tree.leaves.v,
+                    [l.v for l in quo_tree.digest_levels[:-1]]),
+        },
+    }
+
+
+def _stage1b_fn(data: CircuitData, s1, inv1, inv2):
+    """FRI combine + commit phase, resumed from stage1's transcript state.
+    The (x - zeta)^-1 chains arrive precomputed from their own jit: fusing
+    the 64-bit inversion pow-chain into this module sends XLA-CPU
+    optimization superlinear (see _combine_invs)."""
+    cfg = data.config
+    n, log_n = data.n, data.log_n
+    rate = cfg.fri.rate_bits
+    big = n << rate
+    B = s1["wire_lde"].shape[0]
+    wire_lde = GF(s1["wire_lde"])
+    zs_lde = GF(s1["zs_lde"])
+    quo_lde = GF(s1["quo_lde"])
+    all_opens = GF2(GF(s1["opens"][0]), GF(s1["opens"][1]))
+    alpha_fri = GF2(GF(s1["alpha_fri"][0]), GF(s1["alpha_fri"][1]))
+    nc = cfg.num_challenges
+    z_cols_idx = np.array([c * (1 + cfg.num_partial_products) for c in range(nc)])
+    W = cfg.num_wires
+
+    ch = Challenger(batch=(B,))
+    ch._state = [GF(s1["state"][i]) for i in range(s1["state"].shape[0])]
+    ch._input_buffer = [
+        GF(s1["buffer"][i]) for i in range(s1["buffer"].shape[0])
+    ]
+
     F = data.fixed_lde.shape[0]
     fixed_lde_b = GF(jnp.broadcast_to(
         data.fixed_lde.v[None], (B, F, big)
@@ -400,20 +444,19 @@ def prove_batch(
     n1 = F + W + zs_lde.shape[1] + quo_lde.shape[1]
     opens1 = GF2(all_opens.c0[:, :n1], all_opens.c1[:, :n1])
     opens2 = GF2(all_opens.c0[:, n1:], all_opens.c1[:, n1:])
-    final_evals = _combine_batched(
-        all_lde, z_lde_only, opens1, opens2, alpha_fri, zeta, gzeta
+    final_evals = _combine_core(
+        all_lde, z_lde_only, opens1, opens2, alpha_fri, inv1, inv2
     )  # GF2 (B, big)
     final_rev = fri_mod.bit_reverse_ext(final_evals)
 
     # --- FRI commit phase (batched) ---
     fri_cfg = cfg.fri
     final_poly_bits = cfg.fri_final_poly_bits
-    num_folds = log_big_folds = log_n + rate - rate - final_poly_bits
+    num_folds = log_n - final_poly_bits
     cur = final_rev
     cur_shift = SHIFT
     cur_log = log_n + rate
     fold_trees: List[BatchedMerkleTree] = []
-    fold_betas: List[GF2] = []
     for _ in range(num_folds):
         leaves = _ext_leaves_batched(cur)
         t = BatchedMerkleTree(
@@ -422,7 +465,6 @@ def prove_batch(
         fold_trees.append(t)
         ch.observe(t.cap.reshape(B, -1))
         beta = ch.get_extension_challenge()
-        fold_betas.append(beta)
         inv2x = gl.from_u64(fri_mod._fold_inv_2x(cur_log, cur_shift))
         cur = _fold_batched(cur, beta, inv2x)
         cur_shift = cur_shift * cur_shift % P
@@ -433,76 +475,223 @@ def prove_batch(
         ntt.coset_intt(nat.c0, cur_shift), ntt.coset_intt(nat.c1, cur_shift)
     )
     final_len = 1 << final_poly_bits
-    fc0 = gl.to_u64(coeffs_ext.c0)
-    fc1 = gl.to_u64(coeffs_ext.c1)
-    assert int(np.max(fc0[:, final_len:], initial=0)) == 0
-    assert int(np.max(fc1[:, final_len:], initial=0)) == 0
+    fc0_full, fc1_full = coeffs_ext.c0, coeffs_ext.c1
     inter_fp = GF(
         jnp.stack(
-            [jnp.asarray(fc0[:, :final_len]), jnp.asarray(fc1[:, :final_len])],
-            axis=2,
+            [fc0_full.v[:, :final_len], fc1_full.v[:, :final_len]], axis=2
         ).reshape(B, 2 * final_len)
     )
     ch.observe(inter_fp)
 
-    pow_witnesses = _grind_batch(ch, fri_cfg.proof_of_work_bits, B)
-    ch.observe(gl.from_u64(pow_witnesses))
-    ch.get_challenge()  # pow response, keep transcripts in lockstep
-
-    q_challenges = [
-        gl.to_u64(ch.get_challenge()) for _ in range(fri_cfg.num_query_rounds)
-    ]  # each (B,)
-    indices = np.stack(q_challenges, axis=1).astype(np.uint64) % np.uint64(big)
-
-    # --- host extraction of query openings ---
-    caps_host = {
-        "wires": gl.to_u64(wires_tree.cap),
-        "zs": gl.to_u64(zs_tree.cap),
-        "quo": gl.to_u64(quo_tree.cap),
+    return {
+        "fold_caps": [t.cap.v for t in fold_trees],
+        "final_poly": (fc0_full.v, fc1_full.v),
+        "state": jnp.stack([st.v for st in ch._state], axis=0),
+        "buffer": (
+            jnp.stack([x.v for x in ch._input_buffer], axis=0)
+            if ch._input_buffer
+            else jnp.zeros((0, B), dtype=jnp.uint64)
+        ),
+        "fold_trees": [
+            (t.leaves.v, [l.v for l in t.digest_levels[:-1]])
+            for t in fold_trees
+        ],
     }
-    init_host = [wires_tree.to_host(), zs_tree.to_host(), quo_tree.to_host()]
-    fixed_leaves, fixed_levels = data.fixed_tree.leaves, None
-    fold_host = [t.to_host() for t in fold_trees]
-    fold_caps_host = [gl.to_u64(t.cap) for t in fold_trees]
+
+
+def _stage_queries_fn(data: CircuitData, state, buffer, pow_w, trees, fold_trees):
+    """Post-grind device stage: replay the transcript tail to the query
+    indices, then gather every opened leaf/sibling ON DEVICE (one dispatch
+    instead of hundreds of host round trips through the tunnel)."""
+    cfg = data.config
+    B = state.shape[1]
+    big = data.n << cfg.fri.rate_bits
+    ch = Challenger(batch=(B,))
+    ch._state = [GF(state[i]) for i in range(state.shape[0])]
+    ch._input_buffer = [GF(buffer[i]) for i in range(buffer.shape[0])]
+    ch.observe(GF(pow_w))
+    ch.get_challenge()  # pow response, keep transcripts in lockstep
+    qs = [ch.get_challenge() for _ in range(cfg.fri.num_query_rounds)]
+    idx = jnp.stack([q.v for q in qs], axis=1) % np.uint64(big)  # (B, q)
+    idx32 = idx.astype(jnp.int32)
+
+    def gather_batched(leaves, levels, i0):
+        lf = jnp.take_along_axis(leaves, i0[..., None], axis=1)  # (B, q, w)
+        sibs = []
+        i = i0
+        for lvl in levels:
+            sibs.append(jnp.take_along_axis(lvl, (i ^ 1)[..., None], axis=1))
+            i = i >> 1
+        sib = (
+            jnp.stack(sibs, axis=2)
+            if sibs
+            else jnp.zeros(i0.shape + (0, 4), dtype=leaves.dtype)
+        )
+        return lf, sib
+
+    fixed_lf = jnp.take(data.fixed_tree.leaves.v, idx32, axis=0)  # (B, q, F)
+    fsibs = []
+    i = idx32
+    for lvl in data.fixed_tree.digest_levels[:-1]:
+        fsibs.append(jnp.take(lvl.v, (i ^ 1), axis=0))
+        i = i >> 1
+    fixed_sib = (
+        jnp.stack(fsibs, axis=2)
+        if fsibs
+        else jnp.zeros(idx32.shape + (0, 4), dtype=jnp.uint64)
+    )
+
+    out = {"idx": idx, "fixed": (fixed_lf, fixed_sib)}
+    for name in ("wires", "zs", "quo"):
+        leaves, levels = trees[name]
+        out[name] = gather_batched(leaves, levels, idx32)
+    folds = []
+    i = idx32
+    for leaves, levels in fold_trees:
+        pair_idx = i >> 1
+        folds.append(gather_batched(leaves, levels, pair_idx))
+        i = pair_idx
+    out["folds"] = folds
+    return out
+
+
+def _grind_from_state(state_v, buffer_v, pow_bits: int) -> np.ndarray:
+    """Vectorized grinding from a raw challenger-state snapshot."""
+    B = state_v.shape[1]
+    if pow_bits == 0:
+        return np.zeros(B, dtype=np.uint64)
+    span = max(2048, 1 << (pow_bits + 3))
+    found = np.zeros(B, dtype=bool)
+    out = np.zeros(B, dtype=np.uint64)
+    base = 0
+    while not found.all():
+        nonces = np.arange(base, base + span, dtype=np.uint64)
+        clone = Challenger(batch=(B, span))
+        clone._state = [
+            GF(jnp.broadcast_to(jnp.asarray(state_v[i])[:, None], (B, span)))
+            for i in range(state_v.shape[0])
+        ]
+        clone._input_buffer = [
+            GF(jnp.broadcast_to(jnp.asarray(buffer_v[i])[:, None], (B, span)))
+            for i in range(buffer_v.shape[0])
+        ]
+        clone.observe(GF(jnp.broadcast_to(jnp.asarray(nonces), (B, span))))
+        chl = gl.to_u64(clone.get_challenge())  # (B, span)
+        ok = (chl >> np.uint64(64 - pow_bits)) == 0
+        for b in range(B):
+            if not found[b]:
+                hits = np.nonzero(ok[b])[0]
+                if hits.size:
+                    out[b] = base + hits[0]
+                    found[b] = True
+        base += span
+    return out
+
+
+def prove_batch(
+    data: CircuitData,
+    witnesses: np.ndarray,  # (B, n, W) uint64
+    public_inputs: Sequence[Sequence[int]],
+) -> List[Proof]:
+    """B proofs per dispatch sequence: ONE jitted device program to the
+    grinding point, host grind, ONE jitted gather stage, ONE transfer."""
+    cfg = data.config
+    W = cfg.num_wires
+    nc = cfg.num_challenges
+    qk = cfg.quotient_degree_factor
+    npp = cfg.num_partial_products
+    final_len = 1 << cfg.fri_final_poly_bits
+    B = witnesses.shape[0]
+    assert len(public_inputs) == B
+
+    pi_hashes = np.array(
+        [p2h.hash_no_pad(list(pis)) for pis in public_inputs], dtype=np.uint64
+    )  # (B, 4)
+
+    cache = getattr(data, "_batch_jits", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(data, "_batch_jits", cache)
+    if ("stage1", B) not in cache:
+        cache[("stage1", B)] = jax.jit(lambda w, p: _stage1_fn(data, w, p))
+        cache[("stage1b", B)] = jax.jit(
+            lambda s, i1, i2: _stage1b_fn(data, s, i1, i2)
+        )
+        cache[("queries", B)] = jax.jit(
+            lambda s, bu, pw, t, ft: _stage_queries_fn(data, s, bu, pw, t, ft)
+        )
+    s1 = cache[("stage1", B)](jnp.asarray(witnesses), jnp.asarray(pi_hashes))
+
+    big = data.n << cfg.fri.rate_bits
+    zeta = GF2(GF(s1["zeta"][0]), GF(s1["zeta"][1]))
+    gzeta = GF2(GF(s1["gzeta"][0]), GF(s1["gzeta"][1]))
+    inv1, inv2 = _combine_invs(zeta, gzeta, big)
+    s1b = cache[("stage1b", B)](s1, inv1, inv2)
+
+    state_v, buffer_v = jax.device_get((s1b["state"], s1b["buffer"]))
+    pow_witnesses = _grind_from_state(
+        state_v, buffer_v, cfg.fri.proof_of_work_bits
+    )
+
+    q_out = cache[("queries", B)](
+        s1b["state"], s1b["buffer"], jnp.asarray(pow_witnesses),
+        s1["trees"], s1b["fold_trees"],
+    )
+
+    # ---- single transfer of everything the serialized proofs need ----
+    host = jax.device_get(
+        {
+            "caps": s1["caps"],
+            "fold_caps": s1b["fold_caps"],
+            "opens": s1["opens"],
+            "final_poly": s1b["final_poly"],
+            "q": dict(q_out),
+        }
+    )
+    fc0, fc1 = host["final_poly"]
+    assert int(np.max(fc0[:, final_len:], initial=0)) == 0, (
+        "combined polynomial exceeds claimed degree"
+    )
+    assert int(np.max(fc1[:, final_len:], initial=0)) == 0
+    o0_all, o1_all = host["opens"]
+    caps = host["caps"]
+    fold_caps = host["fold_caps"]
+    qh = host["q"]
+    F = data.fixed_lde.shape[0]
+    zc = nc * (1 + npp)
+    qc = nc * qk
+    num_folds = len(fold_caps)
 
     proofs: List[Proof] = []
     for b in range(B):
         query_rounds = []
-        for q in range(fri_cfg.num_query_rounds):
-            idx = int(indices[b, q])
-            leaves_l, sibs_l = [], []
-            # fixed oracle: shared tree, host open
-            leaf, sibs = data.fixed_tree.open(idx)
-            leaves_l.append(leaf)
-            sibs_l.append(sibs)
-            for leaves_h, levels_h in init_host:
-                leaves_l.append(leaves_h[b, idx])
-                s = []
-                i = idx
-                for lvl in levels_h:
-                    s.append(lvl[b, i ^ 1])
-                    i >>= 1
-                sibs_l.append(np.array(s, dtype=np.uint64))
+        for q in range(cfg.fri.num_query_rounds):
+            leaves_l = [
+                qh["fixed"][0][b, q],
+                qh["wires"][0][b, q],
+                qh["zs"][0][b, q],
+                qh["quo"][0][b, q],
+            ]
+            sibs_l = [
+                qh["fixed"][1][b, q],
+                qh["wires"][1][b, q],
+                qh["zs"][1][b, q],
+                qh["quo"][1][b, q],
+            ]
             steps = []
-            i = idx
-            for r, (leaves_h, levels_h) in enumerate(fold_host):
-                pair_idx = i // 2
-                row = leaves_h[b, pair_idx]
-                s = []
-                j = pair_idx
-                for lvl in levels_h:
-                    s.append(lvl[b, j ^ 1])
-                    j >>= 1
+            for r in range(num_folds):
+                row = qh["folds"][r][0][b, q]
                 steps.append(
                     FriQueryStep(
                         pair=(
                             (int(row[0]), int(row[1])),
                             (int(row[2]), int(row[3])),
                         ),
-                        siblings=np.array(s, dtype=np.uint64).reshape(-1, 4),
+                        siblings=np.asarray(
+                            qh["folds"][r][1][b, q], dtype=np.uint64
+                        ),
                     )
                 )
-                i = pair_idx
             query_rounds.append(
                 FriQueryRound(
                     initial_leaves=leaves_l,
@@ -511,7 +700,7 @@ def prove_batch(
                 )
             )
         fri_proof = FriProof(
-            commit_caps=[c[b] for c in fold_caps_host],
+            commit_caps=[c[b] for c in fold_caps],
             final_poly=[
                 (int(a), int(bb))
                 for a, bb in zip(fc0[b, :final_len], fc1[b, :final_len])
@@ -519,38 +708,22 @@ def prove_batch(
             pow_witness=int(pow_witnesses[b]),
             query_rounds=query_rounds,
         )
-        o0 = gl.to_u64(all_opens.c0)[b]
-        o1 = gl.to_u64(all_opens.c1)[b]
-        F_cols = F
-        zc = zs_lde.shape[1]
-        qc = quo_lde.shape[1]
-        i0 = 0
-        fixed_o = [(int(a), int(bb)) for a, bb in zip(o0[:F_cols], o1[:F_cols])]
-        i0 = F_cols
-        wires_o = [
-            (int(a), int(bb)) for a, bb in zip(o0[i0 : i0 + W], o1[i0 : i0 + W])
-        ]
-        i0 += W
-        zs_o = [
-            (int(a), int(bb)) for a, bb in zip(o0[i0 : i0 + zc], o1[i0 : i0 + zc])
-        ]
-        i0 += zc
-        quo_o = [
-            (int(a), int(bb)) for a, bb in zip(o0[i0 : i0 + qc], o1[i0 : i0 + qc])
-        ]
-        i0 += qc
-        zsn_o = [(int(a), int(bb)) for a, bb in zip(o0[i0:], o1[i0:])]
+        o0, o1 = o0_all[b], o1_all[b]
+
+        def seg(lo, hi):
+            return [(int(a), int(bb)) for a, bb in zip(o0[lo:hi], o1[lo:hi])]
+
         proofs.append(
             Proof(
-                wires_cap=gl.to_u64(wires_tree.cap)[b],
-                zs_cap=gl.to_u64(zs_tree.cap)[b],
-                quotient_cap=gl.to_u64(quo_tree.cap)[b],
+                wires_cap=caps["wires"][b],
+                zs_cap=caps["zs"][b],
+                quotient_cap=caps["quo"][b],
                 openings=Openings(
-                    fixed=fixed_o,
-                    wires=wires_o,
-                    zs_partials=zs_o,
-                    quotient=quo_o,
-                    zs_next=zsn_o,
+                    fixed=seg(0, F),
+                    wires=seg(F, F + W),
+                    zs_partials=seg(F + W, F + W + zc),
+                    quotient=seg(F + W + zc, F + W + zc + qc),
+                    zs_next=seg(F + W + zc + qc, F + W + zc + qc + nc),
                 ),
                 fri=fri_proof,
                 public_inputs=[int(x) for x in public_inputs[b]],
