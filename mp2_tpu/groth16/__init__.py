@@ -1,52 +1,120 @@
-"""Groth16 on-chain wrap (API surface; CPU-native backend pending).
+"""Groth16 on-chain wrap over the C++ BN254 backend (native/bn254.cc).
 
 Reference counterpart: groth16-framework + gnark-utils (SURVEY.md §2.7) —
-the final revelation proof is re-wrapped under a standard-Poseidon config,
-proven inside a gnark BN254 Groth16 circuit (Go), and verified by generated
-Solidity on-chain.  BN254 pairing arithmetic is CPU-bound scalar work with
-no TPU value, so the reference's architecture (host-native wrap) carries
-over unchanged.
+the final revelation proof is wrapped in a BN254 Groth16 proof for cheap
+on-chain verification.  BN254 pairing arithmetic is CPU-bound scalar work
+with no TPU value, so the reference's architecture (host-native wrap)
+carries over: this module drives `native/bn254.cc`, a from-scratch C++
+implementation of Montgomery Fq/Fr, the Fq2/Fq6/Fq12 tower, the Tate
+pairing (generic Miller loop — bilinearity self-tested at load), Fr FFT,
+and Groth16 setup/prove/verify over an R1CS.
 
-This build environment has no Go toolchain and no redistributable BN254
-library, so this module provides:
-  * the full API surface (`compile_and_generate_assets`, `Groth16Prover`,
-    `Groth16Verifier`, `EVMVerifier`) with availability gating, so callers
-    can be written against the final interface today;
-  * `FinalProofBundle`: the calldata-shaped envelope combining the (future)
-    Groth16 proof with the revelation public inputs — `combine_proofs`
-    parity (groth16-framework/src/prover/groth16.rs:118);
-  * a deterministic commitment in place of the SNARK while the C++ BN254
-    backend (planned: native/bn254.cc — pairing, MSM, Groth16 prove) lands.
-
-NOT a proof system: `available()` is False until the native backend exists,
-and callers must treat bundles as unverified commitments.
+Scope vs the reference: the reference's gnark circuit verifies the wrapped
+plonky2 proof INSIDE the SNARK (gnark-plonky2-verifier); here the Groth16
+statement is the squaring-chain binding commitment of the revelation
+public inputs — a real SNARK binding the revealed results, with the full
+in-SNARK TP2 verifier as the tracked next step (NEXT.md).  The CRS is
+generated in-process (dev-grade trusted setup, like gnark's test setup).
 """
 
 from __future__ import annotations
 
+import ctypes
 import hashlib
 import json
+import os
+import subprocess
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "bn254.cc")
+_OUT = os.path.join(_REPO, "native", "build", "libbn254.so")
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        if not os.path.exists(_OUT) or (
+            os.path.getmtime(_OUT) < os.path.getmtime(_SRC)
+        ):
+            os.makedirs(os.path.dirname(_OUT), exist_ok=True)
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _OUT, _SRC],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_OUT)
+        lib.bn254_selftest.restype = ctypes.c_int
+        lib.bn254_wrap_roundtrip.restype = ctypes.c_int
+        lib.bn254_wrap_roundtrip.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64, ctypes.c_int,
+        ]
+        if lib.bn254_selftest() != 0:
+            return None
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
 
 def available() -> bool:
-    """True once a BN254 Groth16 backend is present."""
-    return False
+    """True when the BN254 backend compiled and its pairing self-test
+    (group orders, bilinearity, non-degeneracy) passes."""
+    return _load() is not None
 
 
 class Groth16Unavailable(RuntimeError):
     def __init__(self):
         super().__init__(
-            "BN254 Groth16 backend not built in this environment (no Go "
-            "toolchain; C++ backend planned). Use FinalProofBundle for "
-            "plumbing; do not treat it as a verified SNARK."
+            "BN254 Groth16 backend unavailable (native build failed or "
+            "self-test did not pass)."
         )
 
 
+def wrap_revelation(public_inputs: List[int], seed: int = 42) -> "FinalProofBundle":
+    """Groth16-prove the binding commitment of the revelation public
+    inputs and verify it (prove -> verify roundtrip inside the native
+    backend); returns the calldata-shaped bundle."""
+    lib = _load()
+    if lib is None:
+        raise Groth16Unavailable()
+    pis = [int(x) for x in public_inputs]
+    arr = (ctypes.c_uint64 * len(pis))(*pis)
+    commit = (ctypes.c_uint64 * 4)()
+    rc = lib.bn254_wrap_roundtrip(arr, len(pis), commit, seed, 0)
+    if rc != 0:
+        raise RuntimeError(f"groth16 wrap failed: rc={rc}")
+    commitment = b"".join(int(commit[i]).to_bytes(8, "little") for i in range(4))
+    return FinalProofBundle(
+        revelation_public_inputs=pis,
+        groth16_calldata=commitment,  # Fr commitment the SNARK proved
+        commitment=hashlib.sha256(
+            json.dumps(pis).encode()
+        ).digest(),
+    )
+
+
+def verify_tamper_rejected(public_inputs: List[int], seed: int = 42) -> bool:
+    """Negative-path check: a proof must NOT verify against tampered
+    public inputs (used by tests)."""
+    lib = _load()
+    if lib is None:
+        raise Groth16Unavailable()
+    pis = [int(x) for x in public_inputs]
+    arr = (ctypes.c_uint64 * len(pis))(*pis)
+    commit = (ctypes.c_uint64 * 4)()
+    return lib.bn254_wrap_roundtrip(arr, len(pis), commit, seed, 1) == 1
+
+
 def compile_and_generate_assets(circuit_digest, asset_dir: str):
-    """Reference: writes circuit.bin / r1cs.bin / pk.bin / vk.bin /
-    Verifier.sol (compiler.rs:27)."""
+    """Solidity verifier generation: next round (NEXT.md)."""
     raise Groth16Unavailable()
 
 
@@ -70,7 +138,7 @@ class Groth16Verifier:
 
 class EVMVerifier:
     """Reference: executes the generated Solidity verifier under revm
-    (verifier/evm.rs:17-29)."""
+    (verifier/evm.rs:17-29); planned with asset generation."""
 
     @staticmethod
     def from_solidity(sol_path: str) -> "EVMVerifier":
@@ -79,15 +147,17 @@ class EVMVerifier:
 
 @dataclass(frozen=True)
 class FinalProofBundle:
-    """combine_proofs-shaped envelope: groth16 calldata (when available)
+    """combine_proofs-shaped envelope: groth16-proved commitment
     concatenated with the revelation public inputs."""
 
     revelation_public_inputs: List[int]
-    groth16_calldata: Optional[bytes]  # None until the backend lands
+    groth16_calldata: Optional[bytes]
     commitment: bytes  # sha256 over the PIs (query.rs:23-100 binds sha256(PI))
 
     @staticmethod
     def from_revelation(public_inputs: List[int]) -> "FinalProofBundle":
+        if available():
+            return wrap_revelation(public_inputs)
         data = json.dumps([int(x) for x in public_inputs]).encode()
         return FinalProofBundle(
             revelation_public_inputs=[int(x) for x in public_inputs],

@@ -1,0 +1,977 @@
+// BN254 Groth16 backend (host-side, CPU by nature — the role of the
+// reference's gnark bridge, groth16-framework/src + gnark-utils/lib).
+//
+// Design notes: correctness over speed.  The pairing is the TATE pairing
+// e(P, psi(Q)) computed by a generic Miller loop over the group order r
+// with affine line functions in E(Fq12) (psi embeds the D-twist G2' into
+// E(Fq12) via (x w^2, y w^3), w^6 = xi = 9+i), followed by a full
+// square-and-multiply final exponentiation by (q^12-1)/r.  This avoids
+// every optimal-ate/Frobenius subtlety; bilinearity + non-degeneracy are
+// all Groth16 needs, and proofs are verified by the same library.
+// The CRS is generated in-process from caller-provided entropy (dev-grade
+// trusted setup, like gnark's test setup; production needs a ceremony).
+//
+// Exposed C API (ctypes): selftest, and a Groth16 wrap over the
+// "squaring-chain binding" R1CS: given public inputs p_0..p_{n-1} and the
+// claimed commitment c:  x_0 = 1;  x_{i+1} = x_i * x_i + p_i;  c == x_n.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+// ---------------------------------------------------------------------------
+// 256-bit Montgomery fields (generic)
+// ---------------------------------------------------------------------------
+
+struct U256 {
+  u64 l[4];
+  bool operator==(const U256 &o) const {
+    return !memcmp(l, o.l, sizeof(l));
+  }
+};
+
+static U256 u256_zero() { U256 z{}; return z; }
+
+static bool geq(const U256 &a, const U256 &b) {
+  for (int i = 3; i >= 0; i--) {
+    if (a.l[i] != b.l[i]) return a.l[i] > b.l[i];
+  }
+  return true;
+}
+
+static U256 add_nored(const U256 &a, const U256 &b, u64 *carry) {
+  U256 r;
+  u128 c = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 s = (u128)a.l[i] + b.l[i] + (u64)c;
+    r.l[i] = (u64)s;
+    c = s >> 64;
+  }
+  *carry = (u64)c;
+  return r;
+}
+
+static U256 sub_nored(const U256 &a, const U256 &b, u64 *borrow) {
+  U256 r;
+  u64 br = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 d = (u128)a.l[i] - b.l[i] - br;
+    r.l[i] = (u64)d;
+    br = (d >> 64) ? 1 : 0;
+  }
+  *borrow = br;
+  return r;
+}
+
+struct FieldParams {
+  U256 mod;
+  U256 r2;      // R^2 mod p (R = 2^256)
+  U256 one_m;   // R mod p (Montgomery 1)
+  u64 ninv;     // -p^{-1} mod 2^64
+};
+
+static u64 inv64(u64 a) {  // a^{-1} mod 2^64 (a odd), Newton iteration
+  u64 x = a;
+  for (int i = 0; i < 5; i++) x *= 2 - a * x;
+  return x;
+}
+
+// CIOS Montgomery multiplication
+static U256 mont_mul(const U256 &a, const U256 &b, const FieldParams &F) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; i++) {
+    u128 c = 0;
+    for (int j = 0; j < 4; j++) {
+      u128 s = (u128)t[j] + (u128)a.l[i] * b.l[j] + (u64)c;
+      t[j] = (u64)s;
+      c = s >> 64;
+    }
+    u128 s = (u128)t[4] + (u64)c;
+    t[4] = (u64)s;
+    t[5] = (u64)(s >> 64);
+    u64 m = t[0] * F.ninv;
+    c = ((u128)t[0] + (u128)m * F.mod.l[0]) >> 64;
+    for (int j = 1; j < 4; j++) {
+      u128 s2 = (u128)t[j] + (u128)m * F.mod.l[j] + (u64)c;
+      t[j - 1] = (u64)s2;
+      c = s2 >> 64;
+    }
+    s = (u128)t[4] + (u64)c;
+    t[3] = (u64)s;
+    t[4] = t[5] + (u64)(s >> 64);
+  }
+  U256 r{{t[0], t[1], t[2], t[3]}};
+  if (t[4] || geq(r, F.mod)) {
+    u64 br;
+    r = sub_nored(r, F.mod, &br);
+  }
+  return r;
+}
+
+static U256 f_add(const U256 &a, const U256 &b, const FieldParams &F) {
+  u64 c;
+  U256 r = add_nored(a, b, &c);
+  if (c || geq(r, F.mod)) {
+    u64 br;
+    r = sub_nored(r, F.mod, &br);
+  }
+  return r;
+}
+
+static U256 f_sub(const U256 &a, const U256 &b, const FieldParams &F) {
+  u64 br;
+  U256 r = sub_nored(a, b, &br);
+  if (br) {
+    u64 c;
+    r = add_nored(r, F.mod, &c);
+  }
+  return r;
+}
+
+static U256 f_neg(const U256 &a, const FieldParams &F) {
+  return f_sub(u256_zero(), a, F);
+}
+
+static U256 to_mont(const U256 &a, const FieldParams &F) {
+  return mont_mul(a, F.r2, F);
+}
+
+static U256 from_mont(const U256 &a, const FieldParams &F) {
+  U256 one{{1, 0, 0, 0}};
+  return mont_mul(a, one, F);
+}
+
+static U256 f_pow(const U256 &a, const U256 &e, const FieldParams &F) {
+  U256 r = F.one_m, base = a;
+  for (int i = 0; i < 256; i++) {
+    if ((e.l[i / 64] >> (i % 64)) & 1) r = mont_mul(r, base, F);
+    base = mont_mul(base, base, F);
+  }
+  return r;
+}
+
+static U256 f_inv(const U256 &a, const FieldParams &F) {
+  U256 e = F.mod;
+  u64 br;
+  U256 two{{2, 0, 0, 0}};
+  e = sub_nored(e, two, &br);
+  return f_pow(a, e, F);
+}
+
+static FieldParams make_field(const U256 &mod) {
+  FieldParams F;
+  F.mod = mod;
+  F.ninv = (u64)(0 - inv64(mod.l[0]));
+  // R mod p: compute 2^256 mod p by repeated doubling of 1
+  U256 r{{1, 0, 0, 0}};
+  for (int i = 0; i < 256; i++) r = f_add(r, r, F);  // uses only mod
+  F.one_m = r;
+  // R^2 mod p
+  U256 r2 = r;
+  for (int i = 0; i < 256; i++) r2 = f_add(r2, r2, F);
+  F.r2 = r2;
+  return F;
+}
+
+// BN254 moduli
+static const U256 Q_MOD{{0x3c208c16d87cfd47ULL, 0x97816a916871ca8dULL,
+                         0xb85045b68181585dULL, 0x30644e72e131a029ULL}};
+static const U256 R_MOD{{0x43e1f593f0000001ULL, 0x2833e84879b97091ULL,
+                         0xb85045b68181585dULL, 0x30644e72e131a029ULL}};
+
+static FieldParams FQ;  // base field
+static FieldParams FR;  // scalar field
+
+// ---------------------------------------------------------------------------
+// Fq2 / Fq6 / Fq12 tower
+// ---------------------------------------------------------------------------
+
+struct Fq2 {
+  U256 c0, c1;  // c0 + c1 i, i^2 = -1
+};
+
+static Fq2 fq2_zero() { return Fq2{u256_zero(), u256_zero()}; }
+static Fq2 fq2_one() { return Fq2{FQ.one_m, u256_zero()}; }
+
+static Fq2 fq2_add(const Fq2 &a, const Fq2 &b) {
+  return Fq2{f_add(a.c0, b.c0, FQ), f_add(a.c1, b.c1, FQ)};
+}
+static Fq2 fq2_sub(const Fq2 &a, const Fq2 &b) {
+  return Fq2{f_sub(a.c0, b.c0, FQ), f_sub(a.c1, b.c1, FQ)};
+}
+static Fq2 fq2_mul(const Fq2 &a, const Fq2 &b) {
+  U256 t0 = mont_mul(a.c0, b.c0, FQ);
+  U256 t1 = mont_mul(a.c1, b.c1, FQ);
+  U256 s = mont_mul(f_add(a.c0, a.c1, FQ), f_add(b.c0, b.c1, FQ), FQ);
+  return Fq2{f_sub(t0, t1, FQ), f_sub(f_sub(s, t0, FQ), t1, FQ)};
+}
+static Fq2 fq2_neg(const Fq2 &a) { return Fq2{f_neg(a.c0, FQ), f_neg(a.c1, FQ)}; }
+static Fq2 fq2_inv(const Fq2 &a) {
+  // (c0 - c1 i) / (c0^2 + c1^2)
+  U256 n = f_add(mont_mul(a.c0, a.c0, FQ), mont_mul(a.c1, a.c1, FQ), FQ);
+  U256 ninv = f_inv(n, FQ);
+  return Fq2{mont_mul(a.c0, ninv, FQ), f_neg(mont_mul(a.c1, ninv, FQ), FQ)};
+}
+static bool fq2_is_zero(const Fq2 &a) {
+  return a.c0 == u256_zero() && a.c1 == u256_zero();
+}
+
+// Fq6 = Fq2[v]/(v^3 - xi), xi = 9 + i
+struct Fq6 {
+  Fq2 c0, c1, c2;
+};
+static Fq2 XI;  // set at init (Montgomery form)
+
+static Fq2 mul_xi(const Fq2 &a) { return fq2_mul(a, XI); }
+
+static Fq6 fq6_zero() { return Fq6{fq2_zero(), fq2_zero(), fq2_zero()}; }
+static Fq6 fq6_one() { return Fq6{fq2_one(), fq2_zero(), fq2_zero()}; }
+static Fq6 fq6_add(const Fq6 &a, const Fq6 &b) {
+  return Fq6{fq2_add(a.c0, b.c0), fq2_add(a.c1, b.c1), fq2_add(a.c2, b.c2)};
+}
+static Fq6 fq6_sub(const Fq6 &a, const Fq6 &b) {
+  return Fq6{fq2_sub(a.c0, b.c0), fq2_sub(a.c1, b.c1), fq2_sub(a.c2, b.c2)};
+}
+static Fq6 fq6_neg(const Fq6 &a) {
+  return Fq6{fq2_neg(a.c0), fq2_neg(a.c1), fq2_neg(a.c2)};
+}
+static Fq6 fq6_mul(const Fq6 &a, const Fq6 &b) {
+  Fq2 t0 = fq2_mul(a.c0, b.c0);
+  Fq2 t1 = fq2_mul(a.c1, b.c1);
+  Fq2 t2 = fq2_mul(a.c2, b.c2);
+  Fq2 c0 = fq2_add(
+      t0, mul_xi(fq2_sub(
+              fq2_sub(fq2_mul(fq2_add(a.c1, a.c2), fq2_add(b.c1, b.c2)), t1),
+              t2)));
+  Fq2 c1 = fq2_add(
+      fq2_sub(fq2_sub(fq2_mul(fq2_add(a.c0, a.c1), fq2_add(b.c0, b.c1)), t0),
+              t1),
+      mul_xi(t2));
+  Fq2 c2 = fq2_add(
+      fq2_sub(fq2_sub(fq2_mul(fq2_add(a.c0, a.c2), fq2_add(b.c0, b.c2)), t0),
+              t2),
+      t1);
+  return Fq6{c0, c1, c2};
+}
+static Fq6 fq6_mul_v(const Fq6 &a) {  // * v
+  return Fq6{mul_xi(a.c2), a.c0, a.c1};
+}
+static Fq6 fq6_inv(const Fq6 &a) {
+  Fq2 c0 = fq2_sub(fq2_mul(a.c0, a.c0), mul_xi(fq2_mul(a.c1, a.c2)));
+  Fq2 c1 = fq2_sub(mul_xi(fq2_mul(a.c2, a.c2)), fq2_mul(a.c0, a.c1));
+  Fq2 c2 = fq2_sub(fq2_mul(a.c1, a.c1), fq2_mul(a.c0, a.c2));
+  Fq2 t = fq2_add(
+      fq2_add(fq2_mul(a.c0, c0), mul_xi(fq2_mul(a.c2, c1))),
+      mul_xi(fq2_mul(a.c1, c2)));
+  Fq2 tinv = fq2_inv(t);
+  return Fq6{fq2_mul(c0, tinv), fq2_mul(c1, tinv), fq2_mul(c2, tinv)};
+}
+
+// Fq12 = Fq6[w]/(w^2 - v)
+struct Fq12 {
+  Fq6 c0, c1;
+};
+static Fq12 fq12_zero() { return Fq12{fq6_zero(), fq6_zero()}; }
+static Fq12 fq12_one() { return Fq12{fq6_one(), fq6_zero()}; }
+static Fq12 fq12_add(const Fq12 &a, const Fq12 &b) {
+  return Fq12{fq6_add(a.c0, b.c0), fq6_add(a.c1, b.c1)};
+}
+static Fq12 fq12_sub(const Fq12 &a, const Fq12 &b) {
+  return Fq12{fq6_sub(a.c0, b.c0), fq6_sub(a.c1, b.c1)};
+}
+static Fq12 fq12_neg(const Fq12 &a) { return Fq12{fq6_neg(a.c0), fq6_neg(a.c1)}; }
+static Fq12 fq12_mul(const Fq12 &a, const Fq12 &b) {
+  Fq6 t0 = fq6_mul(a.c0, b.c0);
+  Fq6 t1 = fq6_mul(a.c1, b.c1);
+  Fq6 c0 = fq6_add(t0, fq6_mul_v(t1));
+  Fq6 c1 = fq6_sub(fq6_sub(fq6_mul(fq6_add(a.c0, a.c1), fq6_add(b.c0, b.c1)), t0), t1);
+  return Fq12{c0, c1};
+}
+static Fq12 fq12_inv(const Fq12 &a) {
+  Fq6 t = fq6_sub(fq6_mul(a.c0, a.c0), fq6_mul_v(fq6_mul(a.c1, a.c1)));
+  Fq6 tinv = fq6_inv(t);
+  return Fq12{fq6_mul(a.c0, tinv), fq6_neg(fq6_mul(a.c1, tinv))};
+}
+static bool fq12_is_zero(const Fq12 &a) {
+  return fq2_is_zero(a.c0.c0) && fq2_is_zero(a.c0.c1) && fq2_is_zero(a.c0.c2) &&
+         fq2_is_zero(a.c1.c0) && fq2_is_zero(a.c1.c1) && fq2_is_zero(a.c1.c2);
+}
+static bool fq12_eq(const Fq12 &a, const Fq12 &b) {
+  return fq12_is_zero(fq12_sub(a, b));
+}
+
+// embed Fq and Fq2 into Fq12
+static Fq12 fq12_from_fq(const U256 &a) {
+  Fq12 r = fq12_zero();
+  r.c0.c0.c0 = a;
+  return r;
+}
+static Fq12 fq12_from_fq2_w2(const Fq2 &a) {  // a * w^2  (w^2 = v)
+  Fq12 r = fq12_zero();
+  r.c0.c1 = a;  // v coefficient of c0
+  return r;
+}
+static Fq12 fq12_from_fq2_w3(const Fq2 &a) {  // a * w^3  (w^3 = v w)
+  Fq12 r = fq12_zero();
+  r.c1.c1 = a;  // v coefficient of c1
+  return r;
+}
+
+// ---------------------------------------------------------------------------
+// curve points: E: y^2 = x^3 + 3 over Fq; G2': y^2 = x^3 + 3/xi over Fq2
+// affine with infinity flag
+// ---------------------------------------------------------------------------
+
+struct G1 {
+  U256 x, y;
+  bool inf;
+};
+struct G2 {
+  Fq2 x, y;
+  bool inf;
+};
+struct E12 {  // point on E(Fq12)
+  Fq12 x, y;
+  bool inf;
+};
+
+static G1 g1_zero() { return G1{u256_zero(), u256_zero(), true}; }
+
+static G1 g1_add(const G1 &p, const G1 &q) {
+  if (p.inf) return q;
+  if (q.inf) return p;
+  U256 lam;
+  if (p.x == q.x) {
+    if (f_add(p.y, q.y, FQ) == u256_zero()) return g1_zero();
+    // 3x^2 / 2y
+    U256 x2 = mont_mul(p.x, p.x, FQ);
+    U256 num = f_add(f_add(x2, x2, FQ), x2, FQ);
+    lam = mont_mul(num, f_inv(f_add(p.y, p.y, FQ), FQ), FQ);
+  } else {
+    lam = mont_mul(f_sub(q.y, p.y, FQ), f_inv(f_sub(q.x, p.x, FQ), FQ), FQ);
+  }
+  U256 x3 = f_sub(f_sub(mont_mul(lam, lam, FQ), p.x, FQ), q.x, FQ);
+  U256 y3 = f_sub(mont_mul(lam, f_sub(p.x, x3, FQ), FQ), p.y, FQ);
+  return G1{x3, y3, false};
+}
+
+static G1 g1_neg(const G1 &p) {
+  if (p.inf) return p;
+  return G1{p.x, f_neg(p.y, FQ), false};
+}
+
+static G1 g1_mul(const G1 &p, const U256 &k) {
+  G1 r = g1_zero(), base = p;
+  for (int i = 0; i < 256; i++) {
+    if ((k.l[i / 64] >> (i % 64)) & 1) r = g1_add(r, base);
+    base = g1_add(base, base);
+  }
+  return r;
+}
+
+static G2 g2_zero() { return G2{fq2_zero(), fq2_zero(), true}; }
+
+static G2 g2_add(const G2 &p, const G2 &q) {
+  if (p.inf) return q;
+  if (q.inf) return p;
+  Fq2 lam;
+  if (fq2_is_zero(fq2_sub(p.x, q.x))) {
+    if (fq2_is_zero(fq2_add(p.y, q.y))) return g2_zero();
+    Fq2 x2 = fq2_mul(p.x, p.x);
+    Fq2 num = fq2_add(fq2_add(x2, x2), x2);
+    lam = fq2_mul(num, fq2_inv(fq2_add(p.y, p.y)));
+  } else {
+    lam = fq2_mul(fq2_sub(q.y, p.y), fq2_inv(fq2_sub(q.x, p.x)));
+  }
+  Fq2 x3 = fq2_sub(fq2_sub(fq2_mul(lam, lam), p.x), q.x);
+  Fq2 y3 = fq2_sub(fq2_mul(lam, fq2_sub(p.x, x3)), p.y);
+  return G2{x3, y3, false};
+}
+
+static G2 g2_mul(const G2 &p, const U256 &k) {
+  G2 r = g2_zero(), base = p;
+  for (int i = 0; i < 256; i++) {
+    if ((k.l[i / 64] >> (i % 64)) & 1) r = g2_add(r, base);
+    base = g2_add(base, base);
+  }
+  return r;
+}
+
+// twist embedding G2' -> E(Fq12): (x, y) -> (x w^2, y w^3)
+static E12 psi(const G2 &q) {
+  if (q.inf) return E12{fq12_zero(), fq12_zero(), true};
+  return E12{fq12_from_fq2_w2(q.x), fq12_from_fq2_w3(q.y), false};
+}
+
+// ---------------------------------------------------------------------------
+// Tate pairing: Miller loop over r with P in G1 (embedded), eval at Q12
+// ---------------------------------------------------------------------------
+
+struct LineEval {
+  Fq12 val;  // line function evaluated at Q
+};
+
+// line through A, B (or tangent if A==B) evaluated at point T=(xq, yq) in Fq12
+static Fq12 line_eval(const E12 &a, const E12 &b, const Fq12 &xq, const Fq12 &yq) {
+  if (a.inf || b.inf) {
+    // vertical through the finite one: x - x0
+    const E12 &f = a.inf ? b : a;
+    if (f.inf) return fq12_one();
+    return fq12_sub(xq, f.x);
+  }
+  if (fq12_eq(a.x, b.x) && !fq12_eq(a.y, b.y)) {
+    return fq12_sub(xq, a.x);  // vertical
+  }
+  Fq12 lam;
+  if (fq12_eq(a.x, b.x)) {
+    Fq12 x2 = fq12_mul(a.x, a.x);
+    Fq12 num = fq12_add(fq12_add(x2, x2), x2);
+    lam = fq12_mul(num, fq12_inv(fq12_add(a.y, a.y)));
+  } else {
+    lam = fq12_mul(fq12_sub(b.y, a.y), fq12_inv(fq12_sub(b.x, a.x)));
+  }
+  // l(x,y) = (y - y_a) - lam (x - x_a)
+  return fq12_sub(fq12_sub(yq, a.y), fq12_mul(lam, fq12_sub(xq, a.x)));
+}
+
+static E12 e12_add(const E12 &p, const E12 &q) {
+  if (p.inf) return q;
+  if (q.inf) return p;
+  Fq12 lam;
+  if (fq12_eq(p.x, q.x)) {
+    if (fq12_is_zero(fq12_add(p.y, q.y)))
+      return E12{fq12_zero(), fq12_zero(), true};
+    Fq12 x2 = fq12_mul(p.x, p.x);
+    Fq12 num = fq12_add(fq12_add(x2, x2), x2);
+    lam = fq12_mul(num, fq12_inv(fq12_add(p.y, p.y)));
+  } else {
+    lam = fq12_mul(fq12_sub(q.y, p.y), fq12_inv(fq12_sub(q.x, p.x)));
+  }
+  Fq12 x3 = fq12_sub(fq12_sub(fq12_mul(lam, lam), p.x), q.x);
+  Fq12 y3 = fq12_sub(fq12_mul(lam, fq12_sub(p.x, x3)), p.y);
+  return E12{x3, y3, false};
+}
+
+// big exponent for the final exponentiation: (q^12 - 1) / r, little-endian u64s
+static std::vector<u64> FINAL_EXP;
+
+static std::vector<u64> big_from(const U256 &a) {
+  return {a.l[0], a.l[1], a.l[2], a.l[3]};
+}
+
+static void big_trim(std::vector<u64> &a) {
+  while (a.size() > 1 && a.back() == 0) a.pop_back();
+}
+
+static std::vector<u64> big_mul(const std::vector<u64> &a,
+                                const std::vector<u64> &b) {
+  std::vector<u64> r(a.size() + b.size(), 0);
+  for (size_t i = 0; i < a.size(); i++) {
+    u128 c = 0;
+    for (size_t j = 0; j < b.size(); j++) {
+      u128 s = (u128)r[i + j] + (u128)a[i] * b[j] + (u64)c;
+      r[i + j] = (u64)s;
+      c = s >> 64;
+    }
+    size_t k = i + b.size();
+    while (c) {
+      u128 s = (u128)r[k] + (u64)c;
+      r[k] = (u64)s;
+      c = s >> 64;
+      k++;
+    }
+  }
+  big_trim(r);
+  return r;
+}
+
+static void big_sub_inplace(std::vector<u64> &a, const std::vector<u64> &b) {
+  u64 br = 0;
+  for (size_t i = 0; i < a.size(); i++) {
+    u128 d = (u128)a[i] - (i < b.size() ? b[i] : 0) - br;
+    a[i] = (u64)d;
+    br = (d >> 64) ? 1 : 0;
+  }
+  big_trim(a);
+}
+
+static int big_cmp(const std::vector<u64> &a, const std::vector<u64> &b) {
+  size_t n = a.size() > b.size() ? a.size() : b.size();
+  for (size_t i = n; i-- > 0;) {
+    u64 av = i < a.size() ? a[i] : 0, bv = i < b.size() ? b[i] : 0;
+    if (av != bv) return av > bv ? 1 : -1;
+  }
+  return 0;
+}
+
+// a / b via binary long division (b fits whatever size)
+static std::vector<u64> big_div(std::vector<u64> a, const std::vector<u64> &b) {
+  std::vector<u64> q((a.size() ? a.size() : 1), 0);
+  int bits = (int)a.size() * 64;
+  std::vector<u64> rem(1, 0);
+  for (int i = bits - 1; i >= 0; i--) {
+    // rem = rem*2 + bit
+    u64 carry = 0;
+    for (size_t j = 0; j < rem.size(); j++) {
+      u64 nc = rem[j] >> 63;
+      rem[j] = (rem[j] << 1) | carry;
+      carry = nc;
+    }
+    if (carry) rem.push_back(1);
+    if ((a[i / 64] >> (i % 64)) & 1) rem[0] |= 1;
+    if (big_cmp(rem, b) >= 0) {
+      big_sub_inplace(rem, b);
+      q[i / 64] |= (1ULL << (i % 64));
+    }
+  }
+  big_trim(q);
+  return q;
+}
+
+static Fq12 fq12_pow_big(const Fq12 &a, const std::vector<u64> &e) {
+  Fq12 r = fq12_one(), base = a;
+  for (size_t i = 0; i < e.size() * 64; i++) {
+    if ((e[i / 64] >> (i % 64)) & 1) r = fq12_mul(r, base);
+    base = fq12_mul(base, base);
+  }
+  return r;
+}
+
+static Fq12 pairing(const G1 &p, const G2 &q) {
+  if (p.inf || q.inf) return fq12_one();
+  E12 qe = psi(q);
+  E12 pe{fq12_from_fq(p.x), fq12_from_fq(p.y), false};
+  Fq12 f = fq12_one();
+  E12 t = pe;
+  // bits of r, high to low, SKIPPING the leading one (T = P covers it);
+  // r has 254 bits, so start below bit 253
+  for (int i = 252; i >= 0; i--) {
+    f = fq12_mul(fq12_mul(f, f), line_eval(t, t, qe.x, qe.y));
+    E12 t2 = e12_add(t, t);
+    if (!t2.inf) {
+      // divide by vertical at 2T
+      f = fq12_mul(f, fq12_inv(fq12_sub(qe.x, t2.x)));
+    }
+    t = t2;
+    if ((R_MOD.l[i / 64] >> (i % 64)) & 1) {
+      f = fq12_mul(f, line_eval(t, pe, qe.x, qe.y));
+      E12 tn = e12_add(t, pe);
+      if (!tn.inf) {
+        f = fq12_mul(f, fq12_inv(fq12_sub(qe.x, tn.x)));
+      }
+      t = tn;
+    }
+  }
+  // t should now be infinity (r * P = O)
+  return fq12_pow_big(f, FINAL_EXP);
+}
+
+// ---------------------------------------------------------------------------
+// Fr FFT (2-adicity 28, generator 5)
+// ---------------------------------------------------------------------------
+
+static U256 fr_from_u64(u64 v) {
+  U256 a{{v, 0, 0, 0}};
+  return to_mont(a, FR);
+}
+
+static U256 fr_root_of_unity(int log_n) {
+  // 5^((r-1)/2^log_n)
+  U256 five = fr_from_u64(5);
+  U256 e = R_MOD;
+  u64 br;
+  U256 one{{1, 0, 0, 0}};
+  e = sub_nored(e, one, &br);
+  // e >>= log_n
+  for (int s = 0; s < log_n; s++) {
+    for (int i = 0; i < 4; i++) {
+      e.l[i] >>= 1;
+      if (i < 3) e.l[i] |= (e.l[i + 1] & 1) << 63;
+    }
+  }
+  return f_pow(five, e, FR);
+}
+
+static void fr_fft(std::vector<U256> &a, bool inverse) {
+  size_t n = a.size();
+  int log_n = 0;
+  while ((size_t(1) << log_n) < n) log_n++;
+  // bit reverse
+  for (size_t i = 0; i < n; i++) {
+    size_t j = 0;
+    for (int b = 0; b < log_n; b++) j |= ((i >> b) & 1) << (log_n - 1 - b);
+    if (j > i) std::swap(a[i], a[j]);
+  }
+  for (int s = 1; s <= log_n; s++) {
+    size_t m = size_t(1) << s;
+    U256 wm = fr_root_of_unity(s);
+    if (inverse) wm = f_inv(wm, FR);
+    for (size_t k = 0; k < n; k += m) {
+      U256 w = FR.one_m;
+      for (size_t j = 0; j < m / 2; j++) {
+        U256 t = mont_mul(w, a[k + j + m / 2], FR);
+        U256 u = a[k + j];
+        a[k + j] = f_add(u, t, FR);
+        a[k + j + m / 2] = f_sub(u, t, FR);
+        w = mont_mul(w, wm, FR);
+      }
+    }
+  }
+  if (inverse) {
+    U256 ninv = f_inv(fr_from_u64((u64)n), FR);
+    for (auto &x : a) x = mont_mul(x, ninv, FR);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Groth16 over the squaring-chain binding R1CS
+// ---------------------------------------------------------------------------
+//
+// Witness layout: w = (1, p_0..p_{n-1}, c, x_1..x_{n-1})   [x_n == c]
+// Constraints (m = n): for i in 0..n-1:  x_i * x_i = x_{i+1} - p_i
+//   i.e. A row: {x_i}, B row: {x_i}, C row: {x_{i+1}, -?}  ... rearranged:
+//   x_i * x_i + p_i = x_{i+1}  ->  A={x_i}, B={x_i}, C={x_{i+1} - p_i}
+//   with x_0 = 1 (the constant wire) and x_n = c (public).
+
+struct SparseTerm {
+  int wire;
+  U256 coeff;  // Montgomery Fr
+};
+typedef std::vector<SparseTerm> Row;
+
+struct R1CS {
+  int num_wires;   // including constant wire 0
+  int num_public;  // wires 1..num_public are public
+  std::vector<Row> A, B, C;
+};
+
+static R1CS binding_r1cs(int n) {
+  R1CS r;
+  r.num_public = n + 1;              // p_0..p_{n-1}, c
+  r.num_wires = 1 + (n + 1) + (n - 1);  // 1, publics, x_1..x_{n-1}
+  U256 one = FR.one_m;
+  U256 negone = f_neg(one, FR);
+  auto xwire = [&](int i) {  // wire index of x_i
+    if (i == 0) return 0;          // constant 1
+    if (i == n) return 1 + n;      // c (last public)
+    return 1 + (n + 1) + (i - 1);  // aux
+  };
+  for (int i = 0; i < n; i++) {
+    r.A.push_back({{xwire(i), one}});
+    r.B.push_back({{xwire(i), one}});
+    r.C.push_back({{xwire(i + 1), one}, {1 + i, negone}});  // x_{i+1} - p_i
+  }
+  return r;
+}
+
+struct ProvingKey {
+  G1 alpha1, beta1, delta1;
+  G2 beta2, gamma2, delta2;
+  std::vector<G1> a_query;   // [A_i(tau)]1
+  std::vector<G1> b1_query;  // [B_i(tau)]1
+  std::vector<G2> b2_query;  // [B_i(tau)]2
+  std::vector<G1> l_query;   // [(beta A_i + alpha B_i + C_i)/delta]1, aux only
+  std::vector<G1> h_query;   // [tau^i t(tau)/delta]1
+  int num_public, num_wires, domain;
+};
+struct VerifyingKey {
+  G1 alpha1;
+  G2 beta2, gamma2, delta2;
+  std::vector<G1> ic;  // [(beta A_i + alpha B_i + C_i)/gamma]1, wires 0..pub
+};
+
+static G1 G1_GEN;
+static G2 G2_GEN;
+
+// deterministic toy entropy (dev-grade CRS)
+static U256 fr_rand(u64 *seed) {
+  U256 a;
+  for (int i = 0; i < 4; i++) {
+    *seed = *seed * 6364136223846793005ULL + 1442695040888963407ULL;
+    a.l[i] = *seed;
+  }
+  a.l[3] &= 0x0FFFFFFFFFFFFFFFULL;  // < r
+  return to_mont(a, FR);
+}
+
+static U256 eval_row(const Row &row, const std::vector<U256> &w) {
+  U256 acc = u256_zero();
+  for (auto &t : row) acc = f_add(acc, mont_mul(t.coeff, w[t.wire], FR), FR);
+  return acc;
+}
+
+static void setup(const R1CS &r, u64 seed, ProvingKey &pk, VerifyingKey &vk) {
+  int m = 1;
+  while (m < (int)r.A.size()) m <<= 1;
+  u64 s = seed;
+  U256 alpha = fr_rand(&s), beta = fr_rand(&s), gamma = fr_rand(&s),
+       delta = fr_rand(&s), tau = fr_rand(&s);
+
+  // Lagrange basis at tau over the size-m domain:
+  // L_j(tau) = (tau^m - 1) * w^j / (m * (tau - w^j))
+  U256 taum = FR.one_m;
+  {
+    U256 e{{(u64)m, 0, 0, 0}};
+    U256 base = tau;
+    u64 mm = m;
+    U256 acc = FR.one_m;
+    while (mm) {
+      if (mm & 1) acc = mont_mul(acc, base, FR);
+      base = mont_mul(base, base, FR);
+      mm >>= 1;
+    }
+    taum = acc;
+  }
+  U256 zt = f_sub(taum, FR.one_m, FR);  // t(tau) = tau^m - 1
+  int log_m = 0;
+  while ((1 << log_m) < m) log_m++;
+  U256 wgen = fr_root_of_unity(log_m);
+  U256 minv = f_inv(fr_from_u64((u64)m), FR);
+  std::vector<U256> lag(m);
+  U256 wj = FR.one_m;
+  for (int j = 0; j < m; j++) {
+    U256 num = mont_mul(zt, wj, FR);
+    U256 den = f_sub(tau, wj, FR);
+    lag[j] = mont_mul(mont_mul(num, f_inv(den, FR), FR), minv, FR);
+    wj = mont_mul(wj, wgen, FR);
+  }
+
+  int nw = r.num_wires;
+  std::vector<U256> At(nw, u256_zero()), Bt(nw, u256_zero()),
+      Ct(nw, u256_zero());
+  for (size_t j = 0; j < r.A.size(); j++) {
+    for (auto &t : r.A[j])
+      At[t.wire] = f_add(At[t.wire], mont_mul(t.coeff, lag[j], FR), FR);
+    for (auto &t : r.B[j])
+      Bt[t.wire] = f_add(Bt[t.wire], mont_mul(t.coeff, lag[j], FR), FR);
+    for (auto &t : r.C[j])
+      Ct[t.wire] = f_add(Ct[t.wire], mont_mul(t.coeff, lag[j], FR), FR);
+  }
+
+  U256 ginv = f_inv(gamma, FR), dinv = f_inv(delta, FR);
+  pk.alpha1 = g1_mul(G1_GEN, from_mont(alpha, FR));
+  pk.beta1 = g1_mul(G1_GEN, from_mont(beta, FR));
+  pk.delta1 = g1_mul(G1_GEN, from_mont(delta, FR));
+  pk.beta2 = g2_mul(G2_GEN, from_mont(beta, FR));
+  pk.gamma2 = g2_mul(G2_GEN, from_mont(gamma, FR));
+  pk.delta2 = g2_mul(G2_GEN, from_mont(delta, FR));
+  pk.num_public = r.num_public;
+  pk.num_wires = nw;
+  pk.domain = m;
+  vk.alpha1 = pk.alpha1;
+  vk.beta2 = pk.beta2;
+  vk.gamma2 = pk.gamma2;
+  vk.delta2 = pk.delta2;
+
+  for (int i = 0; i < nw; i++) {
+    pk.a_query.push_back(g1_mul(G1_GEN, from_mont(At[i], FR)));
+    pk.b1_query.push_back(g1_mul(G1_GEN, from_mont(Bt[i], FR)));
+    pk.b2_query.push_back(g2_mul(G2_GEN, from_mont(Bt[i], FR)));
+    U256 k = f_add(f_add(mont_mul(beta, At[i], FR), mont_mul(alpha, Bt[i], FR), FR),
+                   Ct[i], FR);
+    if (i <= r.num_public) {
+      vk.ic.push_back(g1_mul(G1_GEN, from_mont(mont_mul(k, ginv, FR), FR)));
+    } else {
+      pk.l_query.push_back(g1_mul(G1_GEN, from_mont(mont_mul(k, dinv, FR), FR)));
+    }
+  }
+  // h_query: [tau^i t(tau)/delta]1 for i < m-1
+  U256 pow = FR.one_m;
+  for (int i = 0; i < m; i++) {
+    U256 k = mont_mul(mont_mul(pow, zt, FR), dinv, FR);
+    pk.h_query.push_back(g1_mul(G1_GEN, from_mont(k, FR)));
+    pow = mont_mul(pow, tau, FR);
+  }
+}
+
+struct Groth16Proof {
+  G1 a, c;
+  G2 b;
+};
+
+static Groth16Proof prove(const R1CS &r, const ProvingKey &pk,
+                          const std::vector<U256> &w, u64 seed) {
+  int m = pk.domain;
+  u64 s = seed ^ 0x9e3779b97f4a7c15ULL;
+  U256 rr = fr_rand(&s), ss = fr_rand(&s);
+
+  // H(x) = (A(x) B(x) - C(x)) / t(x) via coset FFT
+  std::vector<U256> av(m, u256_zero()), bv(m, u256_zero()), cv(m, u256_zero());
+  for (size_t j = 0; j < r.A.size(); j++) {
+    av[j] = eval_row(r.A[j], w);
+    bv[j] = eval_row(r.B[j], w);
+    cv[j] = eval_row(r.C[j], w);
+  }
+  fr_fft(av, true);  // -> coefficients
+  fr_fft(bv, true);
+  fr_fft(cv, true);
+  // evaluate on coset g*H, g = multiplicative generator 5
+  U256 g = fr_from_u64(5);
+  U256 gp = FR.one_m;
+  for (int i = 0; i < m; i++) {
+    av[i] = mont_mul(av[i], gp, FR);
+    bv[i] = mont_mul(bv[i], gp, FR);
+    cv[i] = mont_mul(cv[i], gp, FR);
+    gp = mont_mul(gp, g, FR);
+  }
+  fr_fft(av, false);
+  fr_fft(bv, false);
+  fr_fft(cv, false);
+  // t on coset: g^m - 1 (constant)
+  U256 gm = FR.one_m;
+  {
+    u64 mm = m;
+    U256 base = g;
+    while (mm) {
+      if (mm & 1) gm = mont_mul(gm, base, FR);
+      base = mont_mul(base, base, FR);
+      mm >>= 1;
+    }
+  }
+  U256 tinv = f_inv(f_sub(gm, FR.one_m, FR), FR);
+  std::vector<U256> hv(m);
+  for (int i = 0; i < m; i++) {
+    hv[i] = mont_mul(f_sub(mont_mul(av[i], bv[i], FR), cv[i], FR), tinv, FR);
+  }
+  fr_fft(hv, true);
+  // un-coset: divide coefficient i by g^i
+  U256 gi = FR.one_m;
+  U256 ginv_c = f_inv(g, FR);
+  for (int i = 0; i < m; i++) {
+    hv[i] = mont_mul(hv[i], gi, FR);
+    gi = mont_mul(gi, ginv_c, FR);
+  }
+
+  // A = alpha + sum w_i A_i(tau) + r delta
+  G1 A = pk.alpha1;
+  for (int i = 0; i < pk.num_wires; i++)
+    A = g1_add(A, g1_mul(pk.a_query[i], from_mont(w[i], FR)));
+  A = g1_add(A, g1_mul(pk.delta1, from_mont(rr, FR)));
+  // B2 = beta + sum w_i B_i(tau) + s delta ; B1 likewise in G1
+  G2 B = pk.beta2;
+  for (int i = 0; i < pk.num_wires; i++)
+    B = g2_add(B, g2_mul(pk.b2_query[i], from_mont(w[i], FR)));
+  B = g2_add(B, g2_mul(pk.delta2, from_mont(ss, FR)));
+  G1 B1 = pk.beta1;
+  for (int i = 0; i < pk.num_wires; i++)
+    B1 = g1_add(B1, g1_mul(pk.b1_query[i], from_mont(w[i], FR)));
+  B1 = g1_add(B1, g1_mul(pk.delta1, from_mont(ss, FR)));
+  // C = sum_aux w_i L_i + sum h_i H_i + s A + r B1 - r s delta
+  G1 C = g1_zero();
+  for (int i = pk.num_public + 1; i < pk.num_wires; i++)
+    C = g1_add(C, g1_mul(pk.l_query[i - pk.num_public - 1], from_mont(w[i], FR)));
+  for (int i = 0; i < m; i++)
+    C = g1_add(C, g1_mul(pk.h_query[i], from_mont(hv[i], FR)));
+  C = g1_add(C, g1_mul(A, from_mont(ss, FR)));
+  C = g1_add(C, g1_mul(B1, from_mont(rr, FR)));
+  C = g1_add(C, g1_neg(g1_mul(pk.delta1, from_mont(mont_mul(rr, ss, FR), FR))));
+  return Groth16Proof{A, C, B};
+}
+
+static bool verify(const VerifyingKey &vk, const Groth16Proof &pf,
+                   const std::vector<U256> &pub) {  // pub WITHOUT the 1 wire
+  G1 ic = vk.ic[0];
+  for (size_t i = 0; i < pub.size(); i++)
+    ic = g1_add(ic, g1_mul(vk.ic[i + 1], from_mont(pub[i], FR)));
+  // e(A, B) == e(alpha, beta) e(ic, gamma) e(C, delta)
+  Fq12 lhs = pairing(pf.a, pf.b);
+  Fq12 rhs = fq12_mul(
+      fq12_mul(pairing(vk.alpha1, vk.beta2), pairing(ic, vk.gamma2)),
+      pairing(pf.c, vk.delta2));
+  return fq12_eq(lhs, rhs);
+}
+
+// ---------------------------------------------------------------------------
+// init + C API
+// ---------------------------------------------------------------------------
+
+static bool INIT_DONE = false;
+
+static void bn254_init() {
+  if (INIT_DONE) return;
+  FQ = make_field(Q_MOD);
+  FR = make_field(R_MOD);
+  XI = Fq2{to_mont(U256{{9, 0, 0, 0}}, FQ), FQ.one_m};
+  // generators: G1 = (1, 2); G2 = canonical BN254 generator
+  G1_GEN = G1{to_mont(U256{{1, 0, 0, 0}}, FQ), to_mont(U256{{2, 0, 0, 0}}, FQ),
+              false};
+  U256 g2x0{{0x46debd5cd992f6edULL, 0x674322d4f75edaddULL,
+             0x426a00665e5c4479ULL, 0x1800deef121f1e76ULL}};
+  U256 g2x1{{0x97e485b7aef312c2ULL, 0xf1aa493335a9e712ULL,
+             0x7260bfb731fb5d25ULL, 0x198e9393920d483aULL}};
+  U256 g2y0{{0x4ce6cc0166fa7daaULL, 0xe3d1e7690c43d37bULL,
+             0x4aab71808dcb408fULL, 0x12c85ea5db8c6debULL}};
+  U256 g2y1{{0x55acdadcd122975bULL, 0xbc4b313370b38ef3ULL,
+             0xec9e99ad690c3395ULL, 0x090689d0585ff075ULL}};
+  G2_GEN = G2{Fq2{to_mont(g2x0, FQ), to_mont(g2x1, FQ)},
+              Fq2{to_mont(g2y0, FQ), to_mont(g2y1, FQ)}, false};
+  // final exponent (q^12 - 1)/r
+  std::vector<u64> q12{1};
+  for (int i = 0; i < 12; i++) q12 = big_mul(q12, big_from(Q_MOD));
+  std::vector<u64> one{1};
+  big_sub_inplace(q12, one);
+  FINAL_EXP = big_div(q12, big_from(R_MOD));
+  INIT_DONE = true;
+}
+
+extern "C" {
+
+// 0 = all good
+int bn254_selftest() {
+  bn254_init();
+  // group sanity: r * G == O
+  if (!g1_mul(G1_GEN, R_MOD).inf) return 1;
+  if (!g2_mul(G2_GEN, R_MOD).inf) return 2;
+  // bilinearity: e(aG1, bG2) == e(bG1, aG2) == e(G1, G2)^(ab)
+  U256 a{{3, 0, 0, 0}}, b{{5, 0, 0, 0}}, ab{{15, 0, 0, 0}};
+  Fq12 e1 = pairing(g1_mul(G1_GEN, a), g2_mul(G2_GEN, b));
+  Fq12 e2 = pairing(g1_mul(G1_GEN, b), g2_mul(G2_GEN, a));
+  Fq12 e3 = pairing(g1_mul(G1_GEN, ab), G2_GEN);
+  if (!fq12_eq(e1, e2)) return 3;
+  if (!fq12_eq(e1, e3)) return 4;
+  // non-degeneracy
+  if (fq12_eq(pairing(G1_GEN, G2_GEN), fq12_one())) return 5;
+  return 0;
+}
+
+// Groth16 roundtrip over the binding R1CS:
+//   pubs: n u64 values (Goldilocks field elements of the revelation PIs)
+//   out_commit: receives the chain commitment c (4 u64 limbs, canonical Fr)
+// returns 0 on prove+verify success, negative on failure
+int bn254_wrap_roundtrip(const u64 *pubs, int n, u64 *out_commit,
+                         u64 seed, int tamper) {
+  bn254_init();
+  R1CS r = binding_r1cs(n);
+  // witness: compute the squaring chain
+  std::vector<U256> w(r.num_wires, u256_zero());
+  w[0] = FR.one_m;
+  U256 x = FR.one_m;
+  for (int i = 0; i < n; i++) {
+    w[1 + i] = fr_from_u64(pubs[i]);
+    U256 nx = f_add(mont_mul(x, x, FR), w[1 + i], FR);
+    if (i < n - 1) {
+      w[1 + (n + 1) + i] = nx;
+    } else {
+      w[1 + n] = nx;  // c
+    }
+    x = nx;
+  }
+  U256 c_can = from_mont(w[1 + n], FR);
+  for (int i = 0; i < 4; i++) out_commit[i] = c_can.l[i];
+
+  ProvingKey pk;
+  VerifyingKey vk;
+  setup(r, seed, pk, vk);
+  Groth16Proof pf = prove(r, pk, w, seed + 1);
+  std::vector<U256> pub(w.begin() + 1, w.begin() + 1 + r.num_public);
+  if (tamper) {
+    pub[0] = f_add(pub[0], FR.one_m, FR);
+    return verify(vk, pf, pub) ? -2 : 1;  // 1 = correctly rejected
+  }
+  return verify(vk, pf, pub) ? 0 : -1;
+}
+
+}  // extern "C"
