@@ -170,16 +170,33 @@ class RecursionFramework:
             )
         return self._wrap_cache[key]
 
+    def _wrap_chain_for(self, data: CircuitData):
+        """Wrap circuits from `data`'s shape down to the standard shape
+        (large members need TWO wraps: the first shrinks, the second lands
+        exactly on the standard — wrap_circuit.rs's shrink loop)."""
+        chain = []
+        guard = 0
+        while CommonData.of(data).shape_key() != self.standard.shape_key():
+            wc = self._wrap_for(data)
+            chain.append(wc)
+            data = wc.data
+            guard += 1
+            assert guard <= 4, "wrap chain failed to converge"
+        if not chain:
+            chain = [self._wrap_for(data)]
+        return chain
+
     def finalize(self) -> HashOut:
-        """Build every member's wrap circuit, assemble the circuit set.
+        """Build every member's wrap chain, assemble the circuit set.
         Returns the set digest — the fixed verification key."""
         assert len(self.members) <= (1 << self.set_height)
         for name in self.member_order:
             m = self.members[name]
-            m.wrap = self._wrap_for(m.data)
+            chain = self._wrap_chain_for(m.data)
+            m.wrap = chain[-1]
             got = CommonData.of(m.wrap.data).shape_key()
             assert got == self.standard.shape_key(), (
-                f"{name}: wrap shape diverged from the standard shape"
+                f"{name}: wrap chain did not land on the standard shape"
             )
         digests = [self.members[n].digest for n in self.member_order]
         # pad to the declared set height so membership paths have fixed len
