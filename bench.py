@@ -38,13 +38,19 @@ def _sync(out):
     np.asarray(jax.device_get(leaf[..., :1]))
 
 
-def _bench(fn, args, iters=5):
+def _bench(fn, args, iters=5, rounds=3):
+    """Min-of-rounds average: host/tunnel contention from concurrent jobs
+    shows up as spikes; the min round is the clean measurement."""
     _sync(fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    best = None
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def main():

@@ -1,0 +1,245 @@
+"""MPT node circuits: RLP decoding + keccak binding + digest extraction
+IN-CIRCUIT — the map phase of values extraction.
+
+Reference counterparts: mp2-common/src/rlp.rs:22-366 (header/item decode),
+mp2-common/src/mpt_sequential (path walk), mp2-v1/src/values_extraction/
+{leaf_single.rs:39-60, branch.rs:30-48}.
+
+Circuits (schema baked per table, like the reference's const-generic
+CircuitInputs):
+  * leaf_single — proves: keccak(node[0:len]) == H; node RLP-parses as
+    [path, rlp(value)]; DV = row_digest of the extracted 32-byte value
+    under the baked column schema (bit-identical to the host
+    compute_leaf_single_values_digest); DM = baked metadata digest.
+  * branch — proves: keccak(node) == H; node RLP-parses as a 17-item
+    branch; each child proof's hash PI appears verbatim at its witnessed
+    (distinct) nibble slot; DV/N accumulate, DM must agree.
+
+PI layout (user PIs): H(8 u32, pack_bytes_be) | DV(11) | DM(11) | N(1).
+
+Gap vs the reference (STATUS.md): the key-nibble pointer chain (MPTKeyWire
+advancement binding the leaf to a specific storage location) is not yet
+carried through the PIs; inclusion (child-in-parent, value-in-leaf) IS
+fully enforced.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+from mp2_tpu.circuit.builder import CircuitBuilder, Target
+from mp2_tpu.circuit.gadgets.bytes import (
+    add_byte_inputs,
+    extract_subarray,
+    keccak256_variable,
+    left_pad32,
+    pack_u32_be,
+    small_lt,
+    value_at,
+)
+from mp2_tpu.circuit.gadgets.curve import (
+    curve_add,
+    curve_constant,
+    curve_scalar_mul_hash128,
+    curve_to_pi_targets,
+    map_to_curve_point_circuit,
+)
+from mp2_tpu.extraction.columns import ColumnInfo, metadata_digest
+from mp2_tpu.extraction.values import (
+    compute_row_id,
+    row_unique_data_for_single_leaf,
+)
+from mp2_tpu.hash import poseidon2_host as p2h
+from mp2_tpu.prover.config import CircuitConfig, test_config
+from mp2_tpu.prover.prove import CircuitData, prove
+
+MAX_LEAF_LEN = 69  # reference mp2-v1/src/lib.rs MAX_LEAF_NODE_LEN
+
+
+def _bits_to_u32s_be_bytes(b, bits):
+    from mp2_tpu.extraction.circuits import _bits_to_u32s_be_bytes as f
+
+    return f(b, bits)
+
+
+def _decode_item(b: CircuitBuilder, arr, off: Target):
+    """RLP item at `off`: single byte (< 0x80) or short string (0x80-0xb7)
+    — the only forms MPT node items take (rlp.rs decode_header subset).
+    Returns (payload_off, payload_len, total_len)."""
+    b0 = value_at(b, arr, off)
+    is_single = small_lt(b, b0, b.constant(0x80))
+    plen = b.select(is_single, b.one(), b.sub(b0, b.constant(0x80)))
+    poff = b.select(is_single, off, b.add_const(off, 1))
+    total = b.select(is_single, b.one(), b.add_const(plen, 1))
+    return poff, plen, total
+
+
+def _decode_list_start(b: CircuitBuilder, arr) -> Target:
+    """Payload start of the top-level RLP list at offset 0: short list
+    (0xc0-0xf7) -> 1; long list 0xf8+k -> 1+k."""
+    b0 = arr[0]
+    is_short = small_lt(b, b0, b.constant(0xF8))
+    extra = b.sub(b0, b.constant(0xF7))
+    return b.select(is_short, b.one(), b.add_const(extra, 1))
+
+
+@dataclass
+class MptCircuit:
+    data: CircuitData
+    node_targets: List[Target]
+    len_target: Target
+    assign: callable
+
+
+def _register_mpt_pis(b, h_u32, dv, dm, n):
+    b.register_public_inputs(h_u32)
+    b.register_public_inputs(curve_to_pi_targets(b, dv))
+    b.register_public_inputs(curve_to_pi_targets(b, dm))
+    b.register_public_input(n)
+
+
+def mpt_pi_values(node_hash: bytes, dv, dm, n: int) -> List[int]:
+    from mp2_tpu.utils.u256 import pack_bytes_be
+
+    return pack_bytes_be(node_hash) + dv.to_fields() + dm.to_fields() + [n]
+
+
+def build_leaf_single_circuit(
+    table_info: Sequence[ColumnInfo],
+    value_id: int,
+    config: Optional[CircuitConfig] = None,
+    max_len: int = MAX_LEAF_LEN,
+) -> MptCircuit:
+    """values_extraction leaf for a single full-word storage slot
+    (leaf_single.rs:39-60 with the schema baked)."""
+    b = CircuitBuilder(config or test_config())
+    node = add_byte_inputs(b, max_len)
+    nlen = b.add_input()
+
+    h_bits = keccak256_variable(b, node, nlen, max_len)
+    h_u32 = _bits_to_u32s_be_bytes(b, h_bits)
+
+    ps = _decode_list_start(b, node)
+    path_off, path_len, path_total = _decode_item(b, node, ps)
+    val_off, val_len, _ = _decode_item(b, node, b.add(path_off, path_len))
+    # the second item holds rlp(value): decode once more
+    v_off, v_len, v_total = _decode_item(b, node, val_off)
+    # full consumption: the node ends exactly after the value
+    b.connect(b.add(val_off, val_len), nlen)
+    b.connect(b.add(v_off, v_len), nlen)
+    # value fits a 32-byte word
+    b.connect(small_lt(b, v_len, b.constant(33)), b.one())
+
+    raw = extract_subarray(b, node, v_off, 32)
+    masked = [
+        b.mul(raw[j], small_lt(b, b.constant(j), v_len)) for j in range(32)
+    ]
+    value32 = left_pad32(b, masked, v_len)
+    packed = pack_u32_be(b, value32)
+
+    # DV = (sum over extracted columns of D(id || packed)) * row_id;
+    # single full-word column => one map_to_curve (columns.py
+    # column_values_digest), row_id constant for single leaves
+    col_digest = map_to_curve_point_circuit(b, [b.constant(value_id)] + packed)
+    row_id = compute_row_id(row_unique_data_for_single_leaf(), len(table_info))
+    h0, h1 = row_id & ((1 << 64) - 1), row_id >> 64
+    dv = curve_scalar_mul_hash128(
+        b, b.constant(h0), b.constant(h1), col_digest
+    )
+    dm = curve_constant(b, metadata_digest(table_info))
+    _register_mpt_pis(b, h_u32, dv, dm, b.one())
+
+    def assign(inputs: Dict, node_bytes: bytes):
+        assert len(node_bytes) <= max_len
+        for t, v in zip(node, node_bytes):
+            inputs[t] = v
+        for t in node[len(node_bytes):]:
+            inputs[t] = 0
+        inputs[nlen] = len(node_bytes)
+
+    return MptCircuit(data=b.build(), node_targets=node, len_target=nlen,
+                      assign=assign)
+
+
+def build_branch_circuit(
+    n_children: int,
+    child_pis_fn,
+    config: Optional[CircuitConfig] = None,
+    max_len: int = 532,
+):
+    """Branch circuit body (branch.rs:30-48): to be used inside a
+    RecursionFramework aggregation member — `child_pis_fn(k)` returns the
+    k-th verified child's PI targets.  Returns (builder_fn) that, given a
+    builder, emits the circuit and returns the assign function."""
+
+    def build(b: CircuitBuilder, children_pis: List[List[Target]]):
+        node = add_byte_inputs(b, max_len)
+        nlen = b.add_input()
+        h_bits = keccak256_variable(b, node, nlen, max_len)
+        h_u32 = _bits_to_u32s_be_bytes(b, h_bits)
+
+        ps = _decode_list_start(b, node)
+        # walk the 17 items, recording each payload offset/len
+        offs, lens = [], []
+        cur = ps
+        for _ in range(17):
+            poff, plen, total = _decode_item(b, node, cur)
+            offs.append(poff)
+            lens.append(plen)
+            cur = b.add(poff, plen)
+        b.connect(cur, nlen)  # fully consumed
+
+        dv = None
+        dm_pis = None
+        n_total = None
+        slots = []
+        for k in range(n_children):
+            pis = children_pis[k]
+            # child slot: witnessed nibble index in [0, 16)
+            slot = b.add_input()
+            slots.append(slot)
+            b.connect(small_lt(b, slot, b.constant(16)), b.one())
+            # payload at that slot must be a 32-byte hash equal to the
+            # child's H PIs
+            sel_off = value_at(b, offs, slot)
+            sel_len = value_at(b, lens, slot)
+            b.connect(sel_len, b.constant(32))
+            child_bytes = extract_subarray(b, node, sel_off, 32)
+            child_u32 = pack_u32_be(b, child_bytes)
+            for a, c in zip(child_u32, pis[0:8]):
+                b.connect(a, c)
+            from mp2_tpu.circuit.gadgets.curve import curve_from_pi_targets
+
+            c_dv = curve_from_pi_targets(b, pis[8:19])
+            dv = c_dv if dv is None else curve_add(b, dv, c_dv)
+            if dm_pis is None:
+                dm_pis = pis[19:30]
+            else:
+                for a, c in zip(dm_pis, pis[19:30]):
+                    b.connect(a, c)  # children agree on the metadata digest
+            n_total = pis[30] if n_total is None else b.add(n_total, pis[30])
+        # distinct child slots
+        for i in range(n_children):
+            for j in range(i + 1, n_children):
+                b.connect(
+                    b.is_zero(b.sub(slots[i], slots[j])), b.zero()
+                )
+        from mp2_tpu.circuit.gadgets.curve import curve_from_pi_targets
+
+        dm = curve_from_pi_targets(b, dm_pis)
+        _register_mpt_pis(b, h_u32, dv, dm, n_total)
+
+        def assign(inputs: Dict, node_bytes: bytes, child_slots: List[int]):
+            assert len(node_bytes) <= max_len
+            for t, v in zip(node, node_bytes):
+                inputs[t] = v
+            for t in node[len(node_bytes):]:
+                inputs[t] = 0
+            inputs[nlen] = len(node_bytes)
+            for t, v in zip(slots, child_slots):
+                inputs[t] = v
+
+        return assign
+
+    return build

@@ -1,0 +1,132 @@
+"""MPT node circuits: in-circuit keccak binding + RLP parsing + digest
+extraction vs the host extraction layer (values_extraction leaf/branch)."""
+
+import pytest
+
+from mp2_tpu.circuit.builder import CircuitBuilder
+from mp2_tpu.extraction import storage_key as SK
+from mp2_tpu.extraction import values as V
+from mp2_tpu.extraction.columns import simple_column
+from mp2_tpu.extraction.mpt_circuits import (
+    build_branch_circuit,
+    build_leaf_single_circuit,
+    mpt_pi_values,
+)
+from mp2_tpu.prover.config import test_config
+from mp2_tpu.utils import rlp
+from mp2_tpu.utils.keccak import keccak256
+from mp2_tpu.utils.trie import MPT, verify_proof
+from mp2_tpu.utils.u256 import left_pad32
+
+ADDR = bytes(range(20))
+CHAIN_ID = 1
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    slot = 3
+    value_id = V.identifier_for_value_column(slot, 0, 256, 0, ADDR, CHAIN_ID)
+    table = [simple_column(slot, value_id)]
+    trie = MPT(secure=True)
+    entries = {}
+    for k in (1, 2, 3):
+        loc = SK.simple_slot_location(slot, evm_word=k - 1)
+        val = 10**18 + k  # large enough that leaves are hash-referenced
+        trie.insert(loc, rlp.encode_int(val))
+        entries[loc] = val
+    return trie, table, value_id, entries
+
+
+def test_leaf_single_circuit_matches_host(fixture):
+    trie, table, value_id, entries = fixture
+    loc = next(iter(entries))
+    proof = trie.get_proof(loc)
+    leaf_body = proof[-1]
+    value_rlp = verify_proof(trie.root_hash(), loc, proof)
+    value = left_pad32(rlp.decode(value_rlp))
+
+    mc = build_leaf_single_circuit(table, value_id)
+    inputs = {}
+    mc.assign(inputs, leaf_body)
+    dv = V.compute_leaf_single_values_digest(table, [value_id], value)
+    dm = V.compute_leaf_single_metadata_digest(table)
+    pis = mpt_pi_values(keccak256(leaf_body), dv, dm, 1)
+    w = mc.data.generate_witness(inputs)
+    mc.data.check_witness(w, pis)
+
+    # forged value digest must fail
+    bad = mpt_pi_values(
+        keccak256(leaf_body),
+        V.compute_leaf_single_values_digest(
+            table, [value_id], left_pad32(b"\x01")
+        ),
+        dm, 1,
+    )
+    with pytest.raises(AssertionError):
+        mc.data.check_witness(w, bad)
+
+
+class _Stub:
+    def __init__(self, b, n):
+        self.ts = b.add_inputs(n)
+
+    def pis(self):
+        return list(self.ts)
+
+    def assign(self, inputs, vals):
+        for t, v in zip(self.ts, vals):
+            inputs[t] = int(v)
+
+
+def test_branch_circuit_matches_host(fixture):
+    trie, table, value_id, entries = fixture
+    # find a branch with >= 2 hash children among the proofs
+    locs = list(entries)
+    proofs = {loc: trie.get_proof(loc) for loc in locs}
+    branch_body = proofs[locs[0]][0]
+    assert branch_body[0] >= 0xF7 or branch_body[0] >= 0xC0
+    # children of the branch that are proof leaf bodies
+    children = []
+    for loc in locs:
+        pr = proofs[loc]
+        if len(pr) >= 2 and pr[0] == branch_body:
+            children.append(pr[1])
+    assert len(children) >= 2, "fixture must share a root branch"
+    children = children[:2]
+
+    # host-side expected PIs per child (leaf outputs)
+    child_vals = []
+    for body in children:
+        items = rlp.decode(body)
+        value = left_pad32(rlp.decode(items[1]))
+        dv = V.compute_leaf_single_values_digest(table, [value_id], value)
+        dm = V.compute_leaf_single_metadata_digest(table)
+        child_vals.append(mpt_pi_values(keccak256(body), dv, dm, 1))
+
+    # find each child's nibble slot in the branch
+    branch_items = rlp.decode(branch_body)
+    slots = []
+    for body in children:
+        h = keccak256(body)
+        slots.append(next(i for i, it in enumerate(branch_items) if it == h))
+
+    b = CircuitBuilder(test_config())
+    stubs = [_Stub(b, 31) for _ in range(2)]
+    build = build_branch_circuit(2, None, max_len=272)
+    assign = build(b, [s.pis() for s in stubs])
+    data = b.build()
+
+    inputs = {}
+    assign(inputs, branch_body, slots)
+    for s, vals in zip(stubs, child_vals):
+        s.assign(inputs, vals)
+
+    from mp2_tpu.field.ecgfp5 import Point
+
+    dv_total = Point.from_fields(child_vals[0][8:19]) + Point.from_fields(
+        child_vals[1][8:19]
+    )
+    dm = Point.from_fields(child_vals[0][19:30])
+    want = mpt_pi_values(keccak256(branch_body), dv_total, dm, 2)
+    w = data.generate_witness(inputs)
+    data.check_witness(w, want)
