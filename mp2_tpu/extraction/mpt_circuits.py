@@ -243,3 +243,181 @@ def build_branch_circuit(
         return assign
 
     return build
+
+
+def build_extension_circuit_body(
+    b: CircuitBuilder, child_pis: List[Target], max_len: int = 69
+):
+    """Extension node: [compact_path, 32-byte child hash] — passes the
+    child's digests through unchanged (mpt_sequential leaf_or_extension)."""
+    node = add_byte_inputs(b, max_len)
+    nlen = b.add_input()
+    h_bits = keccak256_variable(b, node, nlen, max_len)
+    h_u32 = _bits_to_u32s_be_bytes(b, h_bits)
+
+    ps = _decode_list_start(b, node)
+    path_off, path_len, _ = _decode_item(b, node, ps)
+    c_off, c_len, _ = _decode_item(b, node, b.add(path_off, path_len))
+    b.connect(c_len, b.constant(32))
+    b.connect(b.add(c_off, c_len), nlen)
+    child_bytes = extract_subarray(b, node, c_off, 32)
+    child_u32 = pack_u32_be(b, child_bytes)
+    for a, c in zip(child_u32, child_pis[0:8]):
+        b.connect(a, c)
+    from mp2_tpu.circuit.gadgets.curve import curve_from_pi_targets
+
+    dv = curve_from_pi_targets(b, child_pis[8:19])
+    dm = curve_from_pi_targets(b, child_pis[19:30])
+    _register_mpt_pis(b, h_u32, dv, dm, child_pis[30])
+
+    def assign(inputs: Dict, node_bytes: bytes):
+        assert len(node_bytes) <= max_len
+        for t, v in zip(node, node_bytes):
+            inputs[t] = v
+        for t in node[len(node_bytes):]:
+            inputs[t] = 0
+        inputs[nlen] = len(node_bytes)
+
+    return assign
+
+
+# ---------------------------------------------------------------------------
+# the values-extraction circuit set (recursive)
+# ---------------------------------------------------------------------------
+
+NUM_MPT_PIS = 31
+
+
+class ValuesExtractionCircuits:
+    """leaf_single / extension / branch1 / branch2 as a RecursionFramework
+    set: branch members verify their children IN-CIRCUIT and check the
+    child hashes appear inside the parent node's RLP — the recursive map
+    phase of mp2-v1/src/values_extraction/api.rs with a fixed VK.
+
+    `max_branch_len`: 532 matches the reference bound; tests use smaller
+    tries to keep CPU circuit sizes down."""
+
+    def __init__(
+        self,
+        table_info: Sequence[ColumnInfo],
+        value_id: int,
+        config: Optional[CircuitConfig] = None,
+        max_branch_len: int = 272,
+        max_leaf_len: int = MAX_LEAF_LEN,
+    ):
+        from mp2_tpu.recursion.runtime import RecursionFramework
+
+        cfg = config or test_config()
+        self._table_info = list(table_info)
+        self._value_id = value_id
+        self.fw = RecursionFramework(cfg, NUM_MPT_PIS, set_height=2)
+
+        leaf_holder = {}
+
+        def leaf_build(b):
+            mc_inputs = {}
+            node = add_byte_inputs(b, max_leaf_len)
+            nlen = b.add_input()
+            h_bits = keccak256_variable(b, node, nlen, max_leaf_len)
+            h_u32 = _bits_to_u32s_be_bytes(b, h_bits)
+            ps = _decode_list_start(b, node)
+            path_off, path_len, _ = _decode_item(b, node, ps)
+            val_off, val_len, _ = _decode_item(b, node, b.add(path_off, path_len))
+            v_off, v_len, _ = _decode_item(b, node, val_off)
+            b.connect(b.add(val_off, val_len), nlen)
+            b.connect(b.add(v_off, v_len), nlen)
+            b.connect(small_lt(b, v_len, b.constant(33)), b.one())
+            raw = extract_subarray(b, node, v_off, 32)
+            masked = [
+                b.mul(raw[j], small_lt(b, b.constant(j), v_len))
+                for j in range(32)
+            ]
+            value32 = left_pad32(b, masked, v_len)
+            packed = pack_u32_be(b, value32)
+            col_digest = map_to_curve_point_circuit(
+                b, [b.constant(value_id)] + packed
+            )
+            row_id = compute_row_id(
+                row_unique_data_for_single_leaf(), len(table_info)
+            )
+            dv = curve_scalar_mul_hash128(
+                b, b.constant(row_id & ((1 << 64) - 1)),
+                b.constant(row_id >> 64), col_digest,
+            )
+            dm = curve_constant(b, metadata_digest(table_info))
+            _register_mpt_pis(b, h_u32, dv, dm, b.one())
+
+            def assign(inputs, node_bytes):
+                for t, v in zip(node, node_bytes):
+                    inputs[t] = v
+                for t in node[len(node_bytes):]:
+                    inputs[t] = 0
+                inputs[nlen] = len(node_bytes)
+
+            return assign
+
+        self.fw.add_leaf_circuit("leaf_single", leaf_build)
+
+        def ext_build(b, children):
+            return build_extension_circuit_body(
+                b, children[0].public_inputs(), max_leaf_len
+            )
+
+        self.fw.add_aggregation_circuit("extension", 1, ext_build)
+
+        for arity in (1, 2):
+            body = build_branch_circuit(arity, None, max_len=max_branch_len)
+
+            def make(body=body):
+                def branch_build(b, children):
+                    return body(b, [c.public_inputs() for c in children])
+
+                return branch_build
+
+            self.fw.add_aggregation_circuit(f"branch{arity}", arity, make())
+        self.fw.finalize()
+
+    def prove_leaf(self, node_bytes: bytes):
+        # leaf PI values are recomputed host-side for the claimed PIs
+        from mp2_tpu.utils.keccak import keccak256
+        from mp2_tpu.utils.u256 import left_pad32 as lp32
+        from mp2_tpu.utils import rlp as rlp_mod
+        from mp2_tpu.extraction import values as V
+
+        items = rlp_mod.decode(node_bytes)
+        value = lp32(rlp_mod.decode(items[1]))
+        # single-column schema: digest conventions from the host layer
+        dv = self._leaf_dv(value)
+        dm = self._dm
+        pis = mpt_pi_values(keccak256(node_bytes), dv, dm, 1)
+        return self.fw.prove_leaf("leaf_single", (node_bytes,), pis), pis
+
+    def prove_branch(self, node_bytes: bytes, children, child_pis, slots):
+        from mp2_tpu.field.ecgfp5 import Point
+        from mp2_tpu.utils.keccak import keccak256
+
+        dv = Point.neutral()
+        n = 0
+        for piv in child_pis:
+            dv = dv + Point.from_fields(piv[8:19])
+            n += piv[30]
+        dm = Point.from_fields(child_pis[0][19:30])
+        pis = mpt_pi_values(keccak256(node_bytes), dv, dm, n)
+        env = self.fw.prove_aggregation(
+            f"branch{len(children)}", children, (node_bytes, slots), pis
+        )
+        return env, pis
+
+    def verify(self, env) -> bool:
+        return self.fw.verify(env)
+
+    @property
+    def _dm(self):
+        return metadata_digest(self._table_info)
+
+    def _leaf_dv(self, value):
+        from mp2_tpu.extraction import values as V
+
+        return V.compute_leaf_single_values_digest(
+            self._table_info, [self._value_id], value
+        )

@@ -211,13 +211,18 @@ class RecursionFramework:
 
     # -------------------------------------------------------------- prove
     def wrap_to_standard(self, data: CircuitData, proof: Proof) -> Proof:
-        """Wrap chain: re-prove until the proof has the standard shape."""
+        """Wrap chain: re-prove until the proof has the standard shape.
+        ALWAYS wraps at least once — a member circuit can be shape-identical
+        to the standard (e.g. a single-verifier member), but its envelope
+        digest is the wrap circuit's, so verification expects the wrap."""
         std = self.standard.shape_key()
         guard = 0
-        while CommonData.of(data).shape_key() != std:
+        wrapped = False
+        while not wrapped or CommonData.of(data).shape_key() != std:
             wc = self._wrap_for(data)
             proof = wc.prove_wrap(proof)
             data = wc.data
+            wrapped = True
             guard += 1
             assert guard <= 4, "wrap chain failed to converge"
         return proof

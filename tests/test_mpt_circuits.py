@@ -130,3 +130,82 @@ def test_branch_circuit_matches_host(fixture):
     want = mpt_pi_values(keccak256(branch_body), dv_total, dm, 2)
     w = data.generate_witness(inputs)
     data.check_witness(w, want)
+
+
+def test_extension_circuit_matches_host(fixture):
+    """Extension node passes digests through and binds the child hash."""
+    from mp2_tpu.extraction.mpt_circuits import build_extension_circuit_body
+
+    trie, table, value_id, entries = fixture
+    loc = next(iter(entries))
+    proof = trie.get_proof(loc)
+    leaf_body = proof[-1]
+    child_hash = keccak256(leaf_body)
+    # synthesize an extension node referencing the leaf
+    ext_body = rlp.encode([b"\x00\x01", child_hash])
+
+    items = rlp.decode(leaf_body)
+    value = left_pad32(rlp.decode(items[1]))
+    dv = V.compute_leaf_single_values_digest(table, [value_id], value)
+    dm = V.compute_leaf_single_metadata_digest(table)
+    child_pis = mpt_pi_values(child_hash, dv, dm, 1)
+
+    b = CircuitBuilder(test_config())
+    stub = _Stub(b, 31)
+    assign = __import__(
+        "mp2_tpu.extraction.mpt_circuits", fromlist=["x"]
+    ).build_extension_circuit_body(b, stub.pis(), 69)
+    data = b.build()
+    inputs = {}
+    assign(inputs, ext_body)
+    stub.assign(inputs, child_pis)
+    want = mpt_pi_values(keccak256(ext_body), dv, dm, 1)
+    w = data.generate_witness(inputs)
+    data.check_witness(w, want)
+
+
+slow = pytest.mark.skipif(
+    not __import__("os").environ.get("MP2_SLOW"),
+    reason="set MP2_SLOW=1 for prove-heavy tests",
+)
+
+
+@slow
+def test_values_extraction_recursive_set(fixture):
+    """leaf -> branch proved RECURSIVELY under the extraction set's fixed
+    VK (values_extraction/api.rs role): branch verifies both leaf proofs
+    in-circuit and binds their hashes into the parent node bytes."""
+    from mp2_tpu.extraction.mpt_circuits import ValuesExtractionCircuits
+
+    trie, table, value_id, entries = fixture
+    locs = list(entries)
+    proofs = {loc: trie.get_proof(loc) for loc in locs}
+    branch_body = proofs[locs[0]][0]
+    children_bodies = []
+    for loc in locs:
+        pr = proofs[loc]
+        if len(pr) >= 2 and pr[0] == branch_body:
+            children_bodies.append(pr[1])
+    children_bodies = children_bodies[:2]
+    assert len(children_bodies) == 2
+
+    vx = ValuesExtractionCircuits(table, value_id)
+    envs, pis = [], []
+    for body in children_bodies:
+        env, piv = vx.prove_leaf(body)
+        assert vx.verify(env)
+        envs.append(env)
+        pis.append(piv)
+
+    branch_items = rlp.decode(branch_body)
+    slots = [
+        next(i for i, it in enumerate(branch_items) if it == keccak256(body))
+        for body in children_bodies
+    ]
+    benv, bpis = vx.prove_branch(branch_body, envs, pis, slots)
+    assert vx.verify(benv)
+    # the branch PIs carry the summed value digest over both leaves
+    from mp2_tpu.field.ecgfp5 import Point
+
+    want_dv = Point.from_fields(pis[0][8:19]) + Point.from_fields(pis[1][8:19])
+    assert bpis[8:19] == want_dv.to_fields()
