@@ -52,3 +52,6 @@ def test_config(**overrides) -> CircuitConfig:
     )
     defaults.update(overrides)
     return CircuitConfig(**defaults)
+
+
+test_config.__test__ = False  # not a pytest case despite the name
