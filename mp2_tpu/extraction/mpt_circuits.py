@@ -64,20 +64,45 @@ def _bits_to_u32s_be_bytes(b, bits):
 
 
 def _decode_item(b: CircuitBuilder, arr, off: Target):
-    """RLP item at `off`: single byte (< 0x80) or short string (0x80-0xb7)
-    — the only forms MPT node items take (rlp.rs decode_header subset).
+    """RLP item at `off`: single byte (< 0x80), short string (0x80-0xb7),
+    or long string with ONE length byte (0xb8) — the forms MPT node items
+    and embedded account bodies take (rlp.rs decode_header subset).
     Returns (payload_off, payload_len, total_len)."""
+    from mp2_tpu.circuit.gadgets.bytes import index_one_hot
+
     b0 = value_at(b, arr, off)
     is_single = small_lt(b, b0, b.constant(0x80))
-    plen = b.select(is_single, b.one(), b.sub(b0, b.constant(0x80)))
-    poff = b.select(is_single, off, b.add_const(off, 1))
-    total = b.select(is_single, b.one(), b.add_const(plen, 1))
+    is_long = b.logic_not(small_lt(b, b0, b.constant(0xB8)))
+    # long-string length byte: lenient indexing (off+1 may touch the array
+    # boundary when the item is short/single and sits at the very end)
+    oh = index_one_hot(b, b.add_const(off, 1), len(arr), assert_in_range=False)
+    llen = b.zero()
+    for bit, v in zip(oh, arr):
+        llen = b.mul_add(bit, v, llen)
+    plen_short = b.sub(b0, b.constant(0x80))
+    plen = b.select(is_single, b.one(), b.select(is_long, llen, plen_short))
+    poff = b.select(
+        is_single, off,
+        b.select(is_long, b.add_const(off, 2), b.add_const(off, 1)),
+    )
+    total = b.select(
+        is_single, b.one(),
+        b.select(is_long, b.add_const(plen, 2), b.add_const(plen, 1)),
+    )
     return poff, plen, total
 
 
+def _decode_list_at(b: CircuitBuilder, arr, off: Target) -> Target:
+    """Payload start of an RLP list at `off`: short list (0xc0-0xf7) ->
+    off+1; long list 0xf8+k -> off+1+k."""
+    b0 = value_at(b, arr, off)
+    is_short = small_lt(b, b0, b.constant(0xF8))
+    extra = b.sub(b0, b.constant(0xF7))
+    return b.add(off, b.select(is_short, b.one(), b.add_const(extra, 1)))
+
+
 def _decode_list_start(b: CircuitBuilder, arr) -> Target:
-    """Payload start of the top-level RLP list at offset 0: short list
-    (0xc0-0xf7) -> 1; long list 0xf8+k -> 1+k."""
+    """Payload start of the top-level RLP list at offset 0."""
     b0 = arr[0]
     is_short = small_lt(b, b0, b.constant(0xF8))
     extra = b.sub(b0, b.constant(0xF7))
@@ -279,6 +304,59 @@ def build_extension_circuit_body(
         inputs[nlen] = len(node_bytes)
 
     return assign
+
+
+def build_account_leaf_circuit(
+    contract_address: bytes,
+    config: Optional[CircuitConfig] = None,
+    max_len: int = 150,
+) -> MptCircuit:
+    """contract_extraction leaf: the STATE-trie account leaf
+    [path, rlp([nonce, balance, storage_root, code_hash])] — proves the
+    keccak binding and extracts the storage root; DM = D(packed address)
+    (contract_extraction/leaf.rs role).
+
+    PIs: H(8 u32) | storage_root(8 u32) | DM(11)."""
+    from mp2_tpu.utils.u256 import pack_bytes_be
+
+    b = CircuitBuilder(config or test_config())
+    node = add_byte_inputs(b, max_len)
+    nlen = b.add_input()
+    h_bits = keccak256_variable(b, node, nlen, max_len)
+    h_u32 = _bits_to_u32s_be_bytes(b, h_bits)
+
+    ps = _decode_list_start(b, node)
+    path_off, path_len, _ = _decode_item(b, node, ps)
+    a_off, a_len, _ = _decode_item(b, node, b.add(path_off, path_len))
+    b.connect(b.add(a_off, a_len), nlen)  # account body closes the node
+    inner = _decode_list_at(b, node, a_off)
+    n_off, n_len, _ = _decode_item(b, node, inner)
+    b_off, b_len, _ = _decode_item(b, node, b.add(n_off, n_len))
+    s_off, s_len, _ = _decode_item(b, node, b.add(b_off, b_len))
+    c_off, c_len, _ = _decode_item(b, node, b.add(s_off, s_len))
+    b.connect(s_len, b.constant(32))
+    b.connect(c_len, b.constant(32))
+    b.connect(b.add(c_off, c_len), nlen)  # fully consumed
+    sr_bytes = extract_subarray(b, node, s_off, 32)
+    sr_u32 = pack_u32_be(b, sr_bytes)
+
+    dm = curve_constant(
+        b, p2h.map_to_curve_point(pack_bytes_be(contract_address))
+    )
+    b.register_public_inputs(h_u32)
+    b.register_public_inputs(sr_u32)
+    b.register_public_inputs(curve_to_pi_targets(b, dm))
+
+    def assign(inputs: Dict, node_bytes: bytes):
+        assert len(node_bytes) <= max_len
+        for t, v in zip(node, node_bytes):
+            inputs[t] = v
+        for t in node[len(node_bytes):]:
+            inputs[t] = 0
+        inputs[nlen] = len(node_bytes)
+
+    return MptCircuit(data=b.build(), node_targets=node, len_target=nlen,
+                      assign=assign)
 
 
 # ---------------------------------------------------------------------------

@@ -209,3 +209,39 @@ def test_values_extraction_recursive_set(fixture):
 
     want_dv = Point.from_fields(pis[0][8:19]) + Point.from_fields(pis[1][8:19])
     assert bpis[8:19] == want_dv.to_fields()
+
+
+def test_account_leaf_circuit_matches_host():
+    """contract_extraction state-trie leaf: keccak binding + storage-root
+    extraction + address metadata digest."""
+    from mp2_tpu.extraction.mpt_circuits import build_account_leaf_circuit
+    from mp2_tpu.utils.u256 import pack_bytes_be
+    from mp2_tpu.hash import poseidon2_host as p2h
+
+    state = MPT(secure=True)
+    storage_root = keccak256(b"storage-root-x")
+    acct = rlp.encode([b"\x01", b"\x00", storage_root, keccak256(b"code")])
+    state.insert(ADDR, acct)
+    proof = state.get_proof(ADDR)
+    leaf_body = proof[-1]
+
+    mc = build_account_leaf_circuit(ADDR)
+    inputs = {}
+    mc.assign(inputs, leaf_body)
+    dm = p2h.map_to_curve_point(pack_bytes_be(ADDR))
+    pis = (
+        pack_bytes_be(keccak256(leaf_body))
+        + pack_bytes_be(storage_root)
+        + dm.to_fields()
+    )
+    w = mc.data.generate_witness(inputs)
+    mc.data.check_witness(w, pis)
+
+    # claiming a different storage root must fail
+    bad = (
+        pack_bytes_be(keccak256(leaf_body))
+        + pack_bytes_be(keccak256(b"other-root"))
+        + dm.to_fields()
+    )
+    with pytest.raises(AssertionError):
+        mc.data.check_witness(w, bad)
