@@ -74,3 +74,39 @@ def test_poseidon_circuit_matches_host():
     proof2 = prove(data, w, want)
     proof2.public_inputs = bad
     assert not verify(data, proof2)
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("MP2_SLOW"), reason="set MP2_SLOW=1 for prove-heavy tests"
+)
+def test_production_config_proof():
+    """Prove + verify at the PRODUCTION proof shape (default CircuitConfig:
+    rate 1/8, cap_height 4, 28 query rounds, 16-bit grinding = ~100-bit FRI
+    soundness) — not the lightened test_config."""
+    from mp2_tpu.circuit.builder import CircuitBuilder
+    from mp2_tpu.prover.config import CircuitConfig
+    from mp2_tpu.prover.prove import prove
+    from mp2_tpu.prover.verify import verify
+    from mp2_tpu.hash import poseidon2_host as p2h
+
+    cfg = CircuitConfig()
+    assert cfg.fri.num_query_rounds == 28 and cfg.fri.proof_of_work_bits == 16
+    b = CircuitBuilder(cfg)
+    xs = b.add_inputs(2)
+    h = b.hash_no_pad(xs)
+    b.register_public_inputs(h + xs)
+    data = b.build()
+    vals = [123, 456]
+    w = data.generate_witness(dict(zip(xs, vals)))
+    pis = list(p2h.hash_no_pad(vals)) + vals
+    proof = prove(data, w, pis)
+    assert verify(data, proof)
+    assert len(proof.fri.query_rounds) == 28
+    bad = list(pis)
+    bad[4] = 999
+    proof.public_inputs = bad
+    assert not verify(data, proof)
