@@ -17,10 +17,17 @@ CircuitInputs):
 
 PI layout (user PIs): H(8 u32, pack_bytes_be) | DV(11) | DM(11) | N(1).
 
-Gap vs the reference (STATUS.md): the key-nibble pointer chain (MPTKeyWire
-advancement binding the leaf to a specific storage location) is not yet
-carried through the PIs; inclusion (child-in-parent, value-in-leaf) IS
-fully enforced.
+Key-nibble pointer chain (mpt_sequential/mod.rs MPTKeyWire): every proof
+exposes the 64-nibble MPT key plus S = the count of still-unconsumed
+leading nibbles (S = reference `pointer` + 1, kept non-negative so no
+field -1 encoding is needed).  The leaf matches its hex-prefix compact
+path against the key TAIL (S = 64 - path_nibbles); an extension consumes
+its path nibbles (S' = S - t, path == key[S'..S]); a branch checks every
+child's consumed nibble key[S-1] equals the child's RLP item slot, that
+all children share S and the key prefix (branch.rs:92-145), and exposes
+S' = S - 1.  The trie root proof must reach S == 0 with key ==
+nibbles(keccak(storage_location)) — checked by the consumer against the
+storage-key circuit.
 """
 
 from __future__ import annotations
@@ -55,6 +62,93 @@ from mp2_tpu.prover.config import CircuitConfig, test_config
 from mp2_tpu.prover.prove import CircuitData, prove
 
 MAX_LEAF_LEN = 69  # reference mp2-v1/src/lib.rs MAX_LEAF_NODE_LEN
+MAX_KEY_NIBBLES = 64
+MAX_PATH_BYTES = 33  # 64 nibbles = 32 bytes + hex-prefix flag byte
+
+
+# ---------------------------------------------------------------------------
+# MPT key wire (mpt_sequential/mod.rs MPTKeyWire)
+# ---------------------------------------------------------------------------
+
+
+def _byte_nibbles(b: CircuitBuilder, byte: Target):
+    """(hi, lo) nibbles of a byte-range target."""
+    bits = b.decompose_bits(byte, 8)
+    lo = b.zero()
+    hi = b.zero()
+    for j in range(4):
+        lo = b.mul_add(bits[j], b.constant(1 << j), lo)
+        hi = b.mul_add(bits[4 + j], b.constant(1 << j), hi)
+    return hi, lo
+
+
+def add_key_nibbles(b: CircuitBuilder) -> List[Target]:
+    key = b.add_inputs(MAX_KEY_NIBBLES)
+    for t in key:
+        b.decompose_bits(t, 4)
+    return key
+
+
+def _compact_key_tail(
+    b: CircuitBuilder, node, path_off: Target, path_len: Target,
+    flag_base: int,
+):
+    """Decode the hex-prefix path item at (path_off, path_len bytes) into
+    (64 tail-nibble targets, nibble count t).  flag_base: 2 for leaves,
+    0 for extensions (trie.hex_prefix encoding)."""
+    pb = extract_subarray(b, node, path_off, MAX_PATH_BYTES)
+    hi0, lo0 = _byte_nibbles(b, pb[0])
+    odd = b.sub(hi0, b.constant(flag_base))
+    b.connect(b.mul(odd, b.sub(odd, b.one())), b.zero())  # odd ∈ {0,1}
+    b.connect(b.mul(b.logic_not(odd), lo0), b.zero())  # even pad nibble = 0
+    tail_odd = [lo0]
+    for k in range(1, MAX_PATH_BYTES):
+        hi, lo = _byte_nibbles(b, pb[k])
+        tail_odd.extend((hi, lo))
+    tail = [
+        b.select(odd, tail_odd[j], tail_odd[j + 1])
+        for j in range(MAX_KEY_NIBBLES)
+    ]
+    t = b.add(b.mul_const(2, b.sub(path_len, b.one())), odd)
+    return tail, t
+
+
+def _enforce_key_segment(
+    b: CircuitBuilder, key: Sequence[Target], start: Target, end: Target,
+    seg: Sequence[Target],
+):
+    """key[start + m] == seg[m] for m in [0, end - start)."""
+    for i in range(MAX_KEY_NIBBLES):
+        ge = b.logic_not(small_lt(b, b.constant(i), start))
+        lt = small_lt(b, b.constant(i), end)
+        active = b.logic_and(ge, lt)
+        idx = b.mul(active, b.sub(b.constant(i), start))
+        v = value_at(b, seg, idx)
+        b.connect(b.mul(active, b.sub(key[i], v)), b.zero())
+
+
+def compact_nibbles(path_item: bytes) -> List[int]:
+    """Host decode of a hex-prefix compact path (trie.hex_prefix inverse)."""
+    hi0 = path_item[0] >> 4
+    nibs = [path_item[0] & 15] if hi0 & 1 else []
+    for byte in path_item[1:]:
+        nibs.extend((byte >> 4, byte & 15))
+    return nibs
+
+
+def host_key_nibbles(location: bytes, secure: bool = True) -> List[int]:
+    from mp2_tpu.utils.keccak import keccak256
+    from mp2_tpu.utils.trie import to_nibbles
+
+    return to_nibbles(keccak256(location) if secure else location)
+
+
+def host_leaf_s(leaf_body: bytes) -> int:
+    """S (unconsumed-prefix length) exposed by a leaf proof."""
+    from mp2_tpu.utils import rlp as rlp_mod
+
+    items = rlp_mod.decode(leaf_body)
+    return MAX_KEY_NIBBLES - len(compact_nibbles(items[0]))
 
 
 def _bits_to_u32s_be_bytes(b, bits):
@@ -117,17 +211,26 @@ class MptCircuit:
     assign: callable
 
 
-def _register_mpt_pis(b, h_u32, dv, dm, n):
+def _register_mpt_pis(b, h_u32, dv, dm, n, key=None, s=None):
     b.register_public_inputs(h_u32)
     b.register_public_inputs(curve_to_pi_targets(b, dv))
     b.register_public_inputs(curve_to_pi_targets(b, dm))
     b.register_public_input(n)
+    if key is not None:
+        b.register_public_inputs(key)
+        b.register_public_input(s)
 
 
-def mpt_pi_values(node_hash: bytes, dv, dm, n: int) -> List[int]:
+def mpt_pi_values(
+    node_hash: bytes, dv, dm, n: int,
+    key_nibbles: Optional[Sequence[int]] = None, s: Optional[int] = None,
+) -> List[int]:
     from mp2_tpu.utils.u256 import pack_bytes_be
 
-    return pack_bytes_be(node_hash) + dv.to_fields() + dm.to_fields() + [n]
+    vals = pack_bytes_be(node_hash) + dv.to_fields() + dm.to_fields() + [n]
+    if key_nibbles is not None:
+        vals += [int(x) for x in key_nibbles] + [int(s)]
+    return vals
 
 
 def build_leaf_single_circuit(
@@ -173,15 +276,24 @@ def build_leaf_single_circuit(
         b, b.constant(h0), b.constant(h1), col_digest
     )
     dm = curve_constant(b, metadata_digest(table_info))
-    _register_mpt_pis(b, h_u32, dv, dm, b.one())
 
-    def assign(inputs: Dict, node_bytes: bytes):
+    # key wire: the compact path must be the key's TAIL (mpt_sequential
+    # MPTKeyWire init); S = 64 - path nibbles
+    key = add_key_nibbles(b)
+    tail, t = _compact_key_tail(b, node, path_off, path_len, flag_base=2)
+    s = b.sub(b.constant(MAX_KEY_NIBBLES), t)
+    _enforce_key_segment(b, key, s, b.constant(MAX_KEY_NIBBLES), tail)
+    _register_mpt_pis(b, h_u32, dv, dm, b.one(), key, s)
+
+    def assign(inputs: Dict, node_bytes: bytes, key_nibbles: Sequence[int]):
         assert len(node_bytes) <= max_len
-        for t, v in zip(node, node_bytes):
-            inputs[t] = v
-        for t in node[len(node_bytes):]:
-            inputs[t] = 0
+        for t_, v in zip(node, node_bytes):
+            inputs[t_] = v
+        for t_ in node[len(node_bytes):]:
+            inputs[t_] = 0
         inputs[nlen] = len(node_bytes)
+        for t_, v in zip(key, key_nibbles):
+            inputs[t_] = int(v)
 
     return MptCircuit(data=b.build(), node_targets=node, len_target=nlen,
                       assign=assign)
@@ -219,6 +331,13 @@ def build_branch_circuit(
         dm_pis = None
         n_total = None
         slots = []
+        # common MPT key (branch.rs:34 common_prefix): every child agrees
+        # on S and the first S-1 nibbles; the child's consumed nibble
+        # key[S-1] is its RLP item slot
+        key = add_key_nibbles(b)
+        s0 = children_pis[0][95]
+        b.connect(b.is_equal(s0, b.zero()), b.zero())  # S >= 1
+        p = b.sub(s0, b.one())
         for k in range(n_children):
             pis = children_pis[k]
             # child slot: witnessed nibble index in [0, 16)
@@ -234,6 +353,16 @@ def build_branch_circuit(
             child_u32 = pack_u32_be(b, child_bytes)
             for a, c in zip(child_u32, pis[0:8]):
                 b.connect(a, c)
+            # key chain: same S, slot == child key nibble at p, shared
+            # prefix below p
+            child_key = pis[31:95]
+            b.connect(pis[95], s0)
+            b.connect(value_at(b, child_key, p), slot)
+            for i in range(MAX_KEY_NIBBLES):
+                active = small_lt(b, b.constant(i), p)
+                b.connect(
+                    b.mul(active, b.sub(child_key[i], key[i])), b.zero()
+                )
             from mp2_tpu.circuit.gadgets.curve import curve_from_pi_targets
 
             c_dv = curve_from_pi_targets(b, pis[8:19])
@@ -253,9 +382,10 @@ def build_branch_circuit(
         from mp2_tpu.circuit.gadgets.curve import curve_from_pi_targets
 
         dm = curve_from_pi_targets(b, dm_pis)
-        _register_mpt_pis(b, h_u32, dv, dm, n_total)
+        _register_mpt_pis(b, h_u32, dv, dm, n_total, key, p)
 
-        def assign(inputs: Dict, node_bytes: bytes, child_slots: List[int]):
+        def assign(inputs: Dict, node_bytes: bytes, child_slots: List[int],
+                   key_nibbles: Sequence[int]):
             assert len(node_bytes) <= max_len
             for t, v in zip(node, node_bytes):
                 inputs[t] = v
@@ -264,6 +394,8 @@ def build_branch_circuit(
             inputs[nlen] = len(node_bytes)
             for t, v in zip(slots, child_slots):
                 inputs[t] = v
+            for t, v in zip(key, key_nibbles):
+                inputs[t] = int(v)
 
         return assign
 
@@ -293,7 +425,14 @@ def build_extension_circuit_body(
 
     dv = curve_from_pi_targets(b, child_pis[8:19])
     dm = curve_from_pi_targets(b, child_pis[19:30])
-    _register_mpt_pis(b, h_u32, dv, dm, child_pis[30])
+    # key chain: consume the extension's path nibbles — they must equal
+    # key[S - t .. S); expose S' = S - t with the child key passed through
+    child_key = list(child_pis[31:95])
+    s_child = child_pis[95]
+    tail, t = _compact_key_tail(b, node, path_off, path_len, flag_base=0)
+    s_new = b.sub(s_child, t)
+    _enforce_key_segment(b, child_key, s_new, s_child, tail)
+    _register_mpt_pis(b, h_u32, dv, dm, child_pis[30], child_key, s_new)
 
     def assign(inputs: Dict, node_bytes: bytes):
         assert len(node_bytes) <= max_len
@@ -363,7 +502,7 @@ def build_account_leaf_circuit(
 # the values-extraction circuit set (recursive)
 # ---------------------------------------------------------------------------
 
-NUM_MPT_PIS = 31
+NUM_MPT_PIS = 31 + MAX_KEY_NIBBLES + 1  # H|DV|DM|N|key(64)|S
 
 
 class ValuesExtractionCircuits:
@@ -423,14 +562,21 @@ class ValuesExtractionCircuits:
                 b.constant(row_id >> 64), col_digest,
             )
             dm = curve_constant(b, metadata_digest(table_info))
-            _register_mpt_pis(b, h_u32, dv, dm, b.one())
+            key = add_key_nibbles(b)
+            tail, t = _compact_key_tail(b, node, path_off, path_len,
+                                        flag_base=2)
+            s = b.sub(b.constant(MAX_KEY_NIBBLES), t)
+            _enforce_key_segment(b, key, s, b.constant(MAX_KEY_NIBBLES), tail)
+            _register_mpt_pis(b, h_u32, dv, dm, b.one(), key, s)
 
-            def assign(inputs, node_bytes):
-                for t, v in zip(node, node_bytes):
-                    inputs[t] = v
-                for t in node[len(node_bytes):]:
-                    inputs[t] = 0
+            def assign(inputs, node_bytes, key_nibbles):
+                for t_, v in zip(node, node_bytes):
+                    inputs[t_] = v
+                for t_ in node[len(node_bytes):]:
+                    inputs[t_] = 0
                 inputs[nlen] = len(node_bytes)
+                for t_, v in zip(key, key_nibbles):
+                    inputs[t_] = int(v)
 
             return assign
 
@@ -455,20 +601,25 @@ class ValuesExtractionCircuits:
             self.fw.add_aggregation_circuit(f"branch{arity}", arity, make())
         self.fw.finalize()
 
-    def prove_leaf(self, node_bytes: bytes):
+    def prove_leaf(self, node_bytes: bytes, key_nibbles: Sequence[int]):
         # leaf PI values are recomputed host-side for the claimed PIs
         from mp2_tpu.utils.keccak import keccak256
         from mp2_tpu.utils.u256 import left_pad32 as lp32
         from mp2_tpu.utils import rlp as rlp_mod
-        from mp2_tpu.extraction import values as V
 
         items = rlp_mod.decode(node_bytes)
         value = lp32(rlp_mod.decode(items[1]))
         # single-column schema: digest conventions from the host layer
         dv = self._leaf_dv(value)
         dm = self._dm
-        pis = mpt_pi_values(keccak256(node_bytes), dv, dm, 1)
-        return self.fw.prove_leaf("leaf_single", (node_bytes,), pis), pis
+        pis = mpt_pi_values(
+            keccak256(node_bytes), dv, dm, 1, key_nibbles,
+            host_leaf_s(node_bytes),
+        )
+        return (
+            self.fw.prove_leaf("leaf_single", (node_bytes, key_nibbles), pis),
+            pis,
+        )
 
     def prove_branch(self, node_bytes: bytes, children, child_pis, slots):
         from mp2_tpu.field.ecgfp5 import Point
@@ -480,9 +631,11 @@ class ValuesExtractionCircuits:
             dv = dv + Point.from_fields(piv[8:19])
             n += piv[30]
         dm = Point.from_fields(child_pis[0][19:30])
-        pis = mpt_pi_values(keccak256(node_bytes), dv, dm, n)
+        key = [int(x) for x in child_pis[0][31:95]]
+        s_new = int(child_pis[0][95]) - 1
+        pis = mpt_pi_values(keccak256(node_bytes), dv, dm, n, key, s_new)
         env = self.fw.prove_aggregation(
-            f"branch{len(children)}", children, (node_bytes, slots), pis
+            f"branch{len(children)}", children, (node_bytes, slots, key), pis
         )
         return env, pis
 

@@ -8,8 +8,11 @@ from mp2_tpu.extraction import storage_key as SK
 from mp2_tpu.extraction import values as V
 from mp2_tpu.extraction.columns import simple_column
 from mp2_tpu.extraction.mpt_circuits import (
+    NUM_MPT_PIS,
     build_branch_circuit,
     build_leaf_single_circuit,
+    host_key_nibbles,
+    host_leaf_s,
     mpt_pi_values,
 )
 from mp2_tpu.prover.config import test_config
@@ -45,12 +48,14 @@ def test_leaf_single_circuit_matches_host(fixture):
     value_rlp = verify_proof(trie.root_hash(), loc, proof)
     value = left_pad32(rlp.decode(value_rlp))
 
+    key_nibs = host_key_nibbles(loc)
+    s = host_leaf_s(leaf_body)
     mc = build_leaf_single_circuit(table, value_id)
     inputs = {}
-    mc.assign(inputs, leaf_body)
+    mc.assign(inputs, leaf_body, key_nibs)
     dv = V.compute_leaf_single_values_digest(table, [value_id], value)
     dm = V.compute_leaf_single_metadata_digest(table)
-    pis = mpt_pi_values(keccak256(leaf_body), dv, dm, 1)
+    pis = mpt_pi_values(keccak256(leaf_body), dv, dm, 1, key_nibs, s)
     w = mc.data.generate_witness(inputs)
     mc.data.check_witness(w, pis)
 
@@ -60,10 +65,21 @@ def test_leaf_single_circuit_matches_host(fixture):
         V.compute_leaf_single_values_digest(
             table, [value_id], left_pad32(b"\x01")
         ),
-        dm, 1,
+        dm, 1, key_nibs, s,
     )
     with pytest.raises(AssertionError):
         mc.data.check_witness(w, bad)
+
+    # a key whose tail disagrees with the leaf's compact path must fail
+    wrong_key = list(key_nibs)
+    wrong_key[-1] ^= 1
+    inputs = {}
+    mc.assign(inputs, leaf_body, wrong_key)
+    with pytest.raises((ValueError, AssertionError)):
+        w = mc.data.generate_witness(inputs)
+        mc.data.check_witness(
+            w, mpt_pi_values(keccak256(leaf_body), dv, dm, 1, wrong_key, s)
+        )
 
 
 class _Stub:
@@ -86,22 +102,26 @@ def test_branch_circuit_matches_host(fixture):
     branch_body = proofs[locs[0]][0]
     assert branch_body[0] >= 0xF7 or branch_body[0] >= 0xC0
     # children of the branch that are proof leaf bodies
-    children = []
+    children, child_keys = [], []
     for loc in locs:
         pr = proofs[loc]
         if len(pr) >= 2 and pr[0] == branch_body:
             children.append(pr[1])
+            child_keys.append(host_key_nibbles(loc))
     assert len(children) >= 2, "fixture must share a root branch"
-    children = children[:2]
+    children, child_keys = children[:2], child_keys[:2]
 
     # host-side expected PIs per child (leaf outputs)
     child_vals = []
-    for body in children:
+    for body, knibs in zip(children, child_keys):
         items = rlp.decode(body)
         value = left_pad32(rlp.decode(items[1]))
         dv = V.compute_leaf_single_values_digest(table, [value_id], value)
         dm = V.compute_leaf_single_metadata_digest(table)
-        child_vals.append(mpt_pi_values(keccak256(body), dv, dm, 1))
+        child_vals.append(
+            mpt_pi_values(keccak256(body), dv, dm, 1, knibs,
+                          host_leaf_s(body))
+        )
 
     # find each child's nibble slot in the branch
     branch_items = rlp.decode(branch_body)
@@ -111,13 +131,13 @@ def test_branch_circuit_matches_host(fixture):
         slots.append(next(i for i, it in enumerate(branch_items) if it == h))
 
     b = CircuitBuilder(test_config())
-    stubs = [_Stub(b, 31) for _ in range(2)]
+    stubs = [_Stub(b, NUM_MPT_PIS) for _ in range(2)]
     build = build_branch_circuit(2, None, max_len=272)
     assign = build(b, [s.pis() for s in stubs])
     data = b.build()
 
     inputs = {}
-    assign(inputs, branch_body, slots)
+    assign(inputs, branch_body, slots, child_keys[0])
     for s, vals in zip(stubs, child_vals):
         s.assign(inputs, vals)
 
@@ -127,9 +147,21 @@ def test_branch_circuit_matches_host(fixture):
         child_vals[1][8:19]
     )
     dm = Point.from_fields(child_vals[0][19:30])
-    want = mpt_pi_values(keccak256(branch_body), dv_total, dm, 2)
+    s_new = host_leaf_s(children[0]) - 1
+    want = mpt_pi_values(
+        keccak256(branch_body), dv_total, dm, 2, child_keys[0], s_new
+    )
     w = data.generate_witness(inputs)
     data.check_witness(w, want)
+
+    # swapping the two slot witnesses breaks the key-nibble consumption
+    inputs = {}
+    assign(inputs, branch_body, slots[::-1], child_keys[0])
+    for s, vals in zip(stubs, child_vals):
+        s.assign(inputs, vals)
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        data.check_witness(w, want)
 
 
 def test_extension_circuit_matches_host(fixture):
@@ -148,10 +180,13 @@ def test_extension_circuit_matches_host(fixture):
     value = left_pad32(rlp.decode(items[1]))
     dv = V.compute_leaf_single_values_digest(table, [value_id], value)
     dm = V.compute_leaf_single_metadata_digest(table)
-    child_pis = mpt_pi_values(child_hash, dv, dm, 1)
+    # ext path b"\x00\x01" consumes nibbles [0, 1]; craft a child key whose
+    # segment [0, 2) matches and claim the child consumed everything below
+    key = [0, 1] + [7] * 62
+    child_pis = mpt_pi_values(child_hash, dv, dm, 1, key, 2)
 
     b = CircuitBuilder(test_config())
-    stub = _Stub(b, 31)
+    stub = _Stub(b, NUM_MPT_PIS)
     assign = __import__(
         "mp2_tpu.extraction.mpt_circuits", fromlist=["x"]
     ).build_extension_circuit_body(b, stub.pis(), 69)
@@ -159,9 +194,20 @@ def test_extension_circuit_matches_host(fixture):
     inputs = {}
     assign(inputs, ext_body)
     stub.assign(inputs, child_pis)
-    want = mpt_pi_values(keccak256(ext_body), dv, dm, 1)
+    want = mpt_pi_values(keccak256(ext_body), dv, dm, 1, key, 0)
     w = data.generate_witness(inputs)
     data.check_witness(w, want)
+
+    # an extension whose path disagrees with the child's key segment fails
+    bad_key = [5, 5] + [7] * 62
+    inputs = {}
+    assign(inputs, ext_body)
+    stub.assign(inputs, mpt_pi_values(child_hash, dv, dm, 1, bad_key, 2))
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        data.check_witness(
+            w, mpt_pi_values(keccak256(ext_body), dv, dm, 1, bad_key, 0)
+        )
 
 
 slow = pytest.mark.skipif(
@@ -181,18 +227,20 @@ def test_values_extraction_recursive_set(fixture):
     locs = list(entries)
     proofs = {loc: trie.get_proof(loc) for loc in locs}
     branch_body = proofs[locs[0]][0]
-    children_bodies = []
+    children_bodies, child_keys = [], []
     for loc in locs:
         pr = proofs[loc]
         if len(pr) >= 2 and pr[0] == branch_body:
             children_bodies.append(pr[1])
+            child_keys.append(host_key_nibbles(loc))
     children_bodies = children_bodies[:2]
+    child_keys = child_keys[:2]
     assert len(children_bodies) == 2
 
     vx = ValuesExtractionCircuits(table, value_id)
     envs, pis = [], []
-    for body in children_bodies:
-        env, piv = vx.prove_leaf(body)
+    for body, knibs in zip(children_bodies, child_keys):
+        env, piv = vx.prove_leaf(body, knibs)
         assert vx.verify(env)
         envs.append(env)
         pis.append(piv)
