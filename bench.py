@@ -16,6 +16,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compile cache: remote TPU compiles cost minutes each cold
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import jax
 import jax.numpy as jnp
 import numpy as np

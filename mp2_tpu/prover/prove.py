@@ -199,7 +199,15 @@ class CircuitData:
             return values.get(find(t), 0)
 
         for t, v in inputs.items():
-            values[find(t)] = v % P
+            root = find(t)
+            v = v % P
+            prev = values.get(root)
+            if prev is not None and prev != v:
+                raise ValueError(
+                    f"witness conflict at input {t}: {prev} vs {v} "
+                    "(targets connected to the same wire disagree)"
+                )
+            values[root] = v
         for out, fn in self.generators:
             root = find(out)
             v = fn(read) % P

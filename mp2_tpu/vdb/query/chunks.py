@@ -4,23 +4,40 @@ chunk_aggregation.rs}, revelation/revelation_without_results_tree.rs).
 
 Shape:
   row        — the witness-driven universal query circuit as a framework
-               member (ONE VK for all queries);
+               member (ONE VK for all queries); in TREE-BOUND mode the row
+               member additionally recomputes the row's cells-tree root from
+               the column values, walks a neighbors-aware Merkle path up the
+               rows tree and the index (block) tree, and exposes the index
+               root + the row's boundary info (predecessor/successor data in
+               both trees — row_chunk_processing.rs RowProcessingGadget);
   chunk_pair / chunk_single — aggregate 1-2 ROW proofs (cross-set): checks
                all rows ran the SAME query (equal computational hash) with
-               the SAME placeholder bindings, and folds outputs per the
-               committed aggregation function (SUM/AVG add, MIN/MAX compare,
-               COUNT adds predicate bits);
-  chunk_merge — aggregates 2 chunk proofs (same set);
+               the SAME placeholder bindings, that adjacent rows are
+               CONSECUTIVE under the query bounds (consecutive_rows.rs),
+               and folds outputs per the committed aggregation function;
+  chunk_merge — aggregates 2 chunk proofs (same set), checking the right
+               boundary of the left chunk is consecutive with the left
+               boundary of the right chunk (chunk_aggregation.rs:90-130);
   revelation  — verifies the chunk root (cross-set) + the IVC proof
-               (cross-set from the verifiable-DB stack), applies the final
-               AVG division, and exposes (computational hash, placeholder
-               hash, block-tree root, results, count): ONE host check
-               validates the whole query against the committed database.
+               (cross-set from the verifiable-DB stack), recomputes the
+               placeholder hash from witnessed placeholder values
+               (revelation/placeholders_check.rs), pins the chunk's query
+               bounds to those values, checks the extreme boundaries cover
+               the whole range (no in-range row before the first / after
+               the last proven row), binds the chunk's index root to the
+               IVC block-tree root, applies the final AVG division, and
+               exposes (computational hash, placeholder hash, block-tree
+               root, results, count).
 
-Known gap vs the reference (documented in STATUS.md): rows are bound by
-their column commitments but the per-row Merkle paths into the rows/index
-trees (merkle_path.rs) and the consecutive-rows completeness gadget are not
-yet enforced in-circuit.
+Completeness argument (tree-bound mode): every proven row carries its
+predecessor/successor info in the rows tree and index tree; chunk circuits
+enforce adjacent proven rows are consecutive, and the revelation enforces
+the first row has no in-range predecessor and the last row no in-range
+successor — so the proven set is exactly the rows of the committed trees
+within the query bounds.  Secondary-index bounds are fixed to the full
+range (the parsil subset constrains only the block range); rows trees are
+never empty in this pipeline, so the non-existence member is only needed
+for restricted secondary ranges (tracked in STATUS.md).
 """
 
 from __future__ import annotations
@@ -31,13 +48,29 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from mp2_tpu.circuit.builder import CircuitBuilder, Target
 from mp2_tpu.circuit.gadgets.u256 import (
     U256Target,
+    add_virtual_u256,
+    set_u256,
     u256_add,
     u256_less_than,
+    u256_lte,
     u256_select,
 )
+from mp2_tpu.hash import poseidon2_host as p2h
 from mp2_tpu.prover.config import CircuitConfig
 from mp2_tpu.recursion.runtime import RecursionFramework, WrappedEnvelope
+from mp2_tpu.ryhope.sbbst import Sbbst
 from mp2_tpu.utils.u256 import U256_MAX, u256_to_fields
+from mp2_tpu.vdb import digests as D
+from mp2_tpu.vdb.query.merkle_path import (
+    BOUNDARY_ROW_LEN,
+    BoundaryRowTargets,
+    NeighborInfoTargets,
+    add_merkle_path_with_neighbors,
+    are_consecutive_rows,
+    host_neighbor_path_from_tree,
+    node_info_fields,
+    set_merkle_path_with_neighbors,
+)
 from mp2_tpu.vdb.query.ops import AggregationOperation
 from mp2_tpu.vdb.query.universal import (
     UniversalQueryParams,
@@ -47,8 +80,20 @@ from mp2_tpu.vdb.query.universal import (
 N_AGG = 6  # AggregationOperation enum size
 
 
-def _row_pi_width(p: UniversalQueryParams) -> int:
+def _row_base_width(p: UniversalQueryParams) -> int:
     return 14 + p.num_outputs + 8 * p.num_outputs
+
+
+def _chunk_base_width(p: UniversalQueryParams) -> int:
+    return 9 + 9 * p.num_outputs
+
+
+def _pi_width(p: UniversalQueryParams, bind: bool) -> int:
+    if not bind:
+        return _row_base_width(p)
+    # chunk layout dominates: base + index_root(4) + 4 bounds (32) +
+    # left/right boundary (128)
+    return _chunk_base_width(p) + 4 + 32 + 2 * BOUNDARY_ROW_LEN
 
 
 @dataclass
@@ -60,19 +105,32 @@ class _RowPis:
     overflow: Target
     agg_ids: List[Target]
     outputs: List[U256Target]
+    index_root: Optional[List[Target]] = None
+    boundary: Optional[BoundaryRowTargets] = None
 
     @staticmethod
-    def parse(p, pis):
+    def parse(p, pis, bind=False):
         no = p.num_outputs
         outs = [
             U256Target(tuple(pis[14 + no + 8 * j : 14 + no + 8 * (j + 1)]))
             for j in range(no)
         ]
-        return _RowPis(
+        r = _RowPis(
             comp=list(pis[0:4]), ph=list(pis[4:8]), cc=list(pis[8:12]),
             pred=pis[12], overflow=pis[13],
             agg_ids=list(pis[14 : 14 + no]), outputs=outs,
         )
+        if bind:
+            base = _row_base_width(p)
+            r.index_root = list(pis[base : base + 4])
+            r.boundary = BoundaryRowTargets.from_targets(
+                pis[base + 4 : base + 4 + BOUNDARY_ROW_LEN]
+            )
+        return r
+
+
+def _u256_at(pis, off) -> U256Target:
+    return U256Target(tuple(pis[off : off + 8]))
 
 
 @dataclass
@@ -82,19 +140,40 @@ class _ChunkPis:
     agg_ids: List[Target]
     outputs: List[U256Target]
     count: Target
+    index_root: Optional[List[Target]] = None
+    min_p: Optional[U256Target] = None
+    max_p: Optional[U256Target] = None
+    min_s: Optional[U256Target] = None
+    max_s: Optional[U256Target] = None
+    left_b: Optional[BoundaryRowTargets] = None
+    right_b: Optional[BoundaryRowTargets] = None
 
     @staticmethod
-    def parse(p, pis):
+    def parse(p, pis, bind=False):
         no = p.num_outputs
         outs = [
             U256Target(tuple(pis[8 + no + 8 * j : 8 + no + 8 * (j + 1)]))
             for j in range(no)
         ]
-        return _ChunkPis(
+        c = _ChunkPis(
             comp=list(pis[0:4]), ph=list(pis[4:8]),
             agg_ids=list(pis[8 : 8 + no]), outputs=outs,
             count=pis[8 + no + 8 * no],
         )
+        if bind:
+            base = _chunk_base_width(p)
+            c.index_root = list(pis[base : base + 4])
+            c.min_p = _u256_at(pis, base + 4)
+            c.max_p = _u256_at(pis, base + 12)
+            c.min_s = _u256_at(pis, base + 20)
+            c.max_s = _u256_at(pis, base + 28)
+            c.left_b = BoundaryRowTargets.from_targets(
+                pis[base + 36 : base + 36 + BOUNDARY_ROW_LEN]
+            )
+            c.right_b = BoundaryRowTargets.from_targets(
+                pis[base + 36 + BOUNDARY_ROW_LEN : base + 36 + 2 * BOUNDARY_ROW_LEN]
+            )
+        return c
 
 
 def _u256_const(b, v: int) -> U256Target:
@@ -102,21 +181,20 @@ def _u256_const(b, v: int) -> U256Target:
 
 
 def _agg_onehot(b, agg_id: Target) -> List[Target]:
+    # generators FIRST: witness generation is a single pass in creation
+    # order, so the one-hot bits must be generated before the arithmetic
+    # ops below read them
     oh = []
-    acc = None
-    idx = b.zero()
     for k in range(N_AGG):
         t = b.add_input()
-        b.connect(b.mul(t, t), t)
+        b.add_generator(t, lambda read, k=k, a=agg_id: 1 if read(a) == k else 0)
         oh.append(t)
+    acc = None
+    idx = b.zero()
+    for k, t in enumerate(oh):
+        b.connect(b.mul(t, t), t)
         acc = t if acc is None else b.add(acc, t)
         idx = b.mul_add(t, b.constant(k), idx)
-
-    def gen(read, agg_id=agg_id):
-        return read(agg_id)
-
-    for k, t in enumerate(oh):
-        b.add_generator(t, lambda read, k=k, a=agg_id: 1 if read(a) == k else 0)
     b.connect(acc, b.one())
     b.connect(idx, agg_id)
     return oh
@@ -148,30 +226,313 @@ def _connect_lists(b, xs, ys):
         b.connect(x, y)
 
 
+def _cells_root_circuit(
+    b: CircuitBuilder, ids: Sequence[Target], values: Sequence[U256Target]
+) -> List[Target]:
+    """Recompute the cells-tree root from column wires (fixed sbbst topology
+    over the n non-indexed cells — trees.build_cells_tree)."""
+    n = len(ids)
+    empty = [b.constant(v) for v in D.EMPTY_HASH]
+    if n == 0:
+        return empty
+    tree = Sbbst(n=n)
+
+    def rec(k):
+        l, r = tree.children_inner(k)
+        lh = rec(l) if l is not None else empty
+        rh = rec(r) if r is not None else empty
+        return b.hash_no_pad(
+            list(lh) + list(rh) + [ids[k - 1]] + list(values[k - 1].limbs)
+        )
+
+    return rec(tree.root_inner())
+
+
+def _enforce_no_inrange_pred(b, info: NeighborInfoTargets, min_b: U256Target):
+    """Predecessor must be absent or store a value < min_b."""
+    in_range = b.logic_and(u256_lte(b, min_b, info.value), info.is_found)
+    b.connect(in_range, b.zero())
+
+
+def _enforce_no_inrange_succ(b, info: NeighborInfoTargets, max_b: U256Target):
+    """Successor must be absent or store a value > max_b."""
+    in_range = b.logic_and(u256_lte(b, info.value, max_b), info.is_found)
+    b.connect(in_range, b.zero())
+
+
+# --------------------------------------------------------------------- host
+
+
+def build_chunk_from_rows(b, p, W, bind, foreign):
+    """Chunk circuit body over 1-2 verified row proofs: same query, output
+    folding, and (tree-bound) row consecutiveness + bounds exposure."""
+    rows = [_RowPis.parse(p, f.public_inputs(), bind) for f in foreign]
+    r0 = rows[0]
+    count = r0.pred
+    for r in rows[1:]:
+        _connect_lists(b, r.comp, r0.comp)
+        _connect_lists(b, r.ph, r0.ph)
+        _connect_lists(b, r.agg_ids, r0.agg_ids)
+        count = b.add(count, r.pred)
+    outs = []
+    for j in range(p.num_outputs):
+        oh = _agg_onehot(b, r0.agg_ids[j])
+        acc = _row_contribution(b, rows[0].pred, rows[0].outputs[j], oh)
+        for r in rows[1:]:
+            c = _row_contribution(b, r.pred, r.outputs[j], oh)
+            acc = _combine(b, acc, c, oh)
+        outs.append(acc)
+    pis = (
+        list(r0.comp) + list(r0.ph) + list(r0.agg_ids)
+        + [l for o in outs for l in o.limbs] + [count]
+    )
+    if bind:
+        bounds_t = [add_virtual_u256(b) for _ in range(4)]
+        min_p, max_p, min_s, max_s = bounds_t
+        for r in rows[1:]:
+            _connect_lists(b, r.index_root, r0.index_root)
+        for a, c in zip(rows, rows[1:]):
+            ok = are_consecutive_rows(
+                b, a.boundary, c.boundary, min_p, max_p, min_s, max_s
+            )
+            b.connect(ok, b.one())
+        pis += list(r0.index_root)
+        for t in bounds_t:
+            pis += list(t.limbs)
+        pis += rows[0].boundary.to_targets()
+        pis += rows[-1].boundary.to_targets()
+
+        def assign(inputs, qb4):
+            for t, v in zip(bounds_t, qb4):
+                set_u256(inputs, t, v)
+
+    else:
+        assign = None
+    pis += [b.zero()] * (W - len(pis))
+    b.register_public_inputs(pis)
+    return assign
+
+
+def build_chunk_merge(b, p, W, bind, children):
+    """Chunk-merge body: combine two chunk proofs; tree-bound mode checks
+    the chunks are consecutive at their shared boundary and agree on the
+    index root + query bounds (chunk_aggregation.rs)."""
+    l = _ChunkPis.parse(p, children[0].public_inputs(), bind)
+    r = _ChunkPis.parse(p, children[1].public_inputs(), bind)
+    _connect_lists(b, r.comp, l.comp)
+    _connect_lists(b, r.ph, l.ph)
+    _connect_lists(b, r.agg_ids, l.agg_ids)
+    outs = []
+    for j in range(p.num_outputs):
+        oh = _agg_onehot(b, l.agg_ids[j])
+        outs.append(_combine(b, l.outputs[j], r.outputs[j], oh))
+    count = b.add(l.count, r.count)
+    pis = (
+        list(l.comp) + list(l.ph) + list(l.agg_ids)
+        + [lm for o in outs for lm in o.limbs] + [count]
+    )
+    if bind:
+        _connect_lists(b, r.index_root, l.index_root)
+        for a, c in (
+            (l.min_p, r.min_p), (l.max_p, r.max_p),
+            (l.min_s, r.min_s), (l.max_s, r.max_s),
+        ):
+            _connect_lists(b, a.limbs, c.limbs)
+        ok = are_consecutive_rows(
+            b, l.right_b, r.left_b, l.min_p, l.max_p, l.min_s, l.max_s
+        )
+        b.connect(ok, b.one())
+        pis += list(l.index_root)
+        for t in (l.min_p, l.max_p, l.min_s, l.max_s):
+            pis += list(t.limbs)
+        pis += l.left_b.to_targets()
+        pis += r.right_b.to_targets()
+    pis += [b.zero()] * (W - len(pis))
+    b.register_public_inputs(pis)
+    return None
+
+
+def build_revelation(b, p, W, bind, chunk_uv, ivc_uv):
+    """Revelation body: final AVG division + (tree-bound) placeholder-hash
+    recomputation, bounds pinning, extreme-boundary completeness, and
+    index-root == IVC block-tree-root binding
+    (revelation_without_results_tree.rs + placeholders_check.rs)."""
+    from mp2_tpu.circuit.gadgets.u256 import u256_div_mod
+
+    c = _ChunkPis.parse(p, chunk_uv.public_inputs(), bind)
+    if ivc_uv is not None:
+        block_root = list(ivc_uv.public_inputs()[0:4])
+    else:
+        block_root = [b.zero()] * 4
+    assign = None
+    if bind:
+        npl = p.num_placeholders
+        ph_name_hs = b.add_inputs(npl)
+        ph_values = [add_virtual_u256(b) for _ in range(npl)]
+        ph_active = []
+        for _ in range(npl):
+            t = b.add_input()
+            b.connect(b.mul(t, t), t)
+            ph_active.append(t)
+        bound_min = add_virtual_u256(b)
+        bound_max = add_virtual_u256(b)
+        ph_inputs: List[Target] = (
+            list(bound_min.limbs) + list(bound_max.limbs)
+        )
+        for nh, pv, act in zip(ph_name_hs, ph_values, ph_active):
+            ph_inputs.append(b.mul(act, nh))
+            ph_inputs.extend(b.mul(act, lm) for lm in pv.limbs)
+        ph_hash = b.hash_no_pad(ph_inputs)
+        _connect_lists(b, ph_hash, c.ph)
+        _connect_lists(b, c.min_p.limbs, bound_min.limbs)
+        _connect_lists(b, c.max_p.limbs, bound_max.limbs)
+        _connect_lists(b, c.min_s.limbs, _u256_const(b, 0).limbs)
+        _connect_lists(b, c.max_s.limbs, _u256_const(b, U256_MAX).limbs)
+        # extreme boundaries: nothing in range before the first / after
+        # the last proven row
+        _enforce_no_inrange_pred(b, c.left_b.row.predecessor, c.min_s)
+        _enforce_no_inrange_pred(b, c.left_b.index.predecessor, c.min_p)
+        _enforce_no_inrange_succ(b, c.right_b.row.successor, c.max_s)
+        _enforce_no_inrange_succ(b, c.right_b.index.successor, c.max_p)
+        # the proven rows live in the committed block tree
+        if ivc_uv is not None:
+            _connect_lists(b, c.index_root, block_root)
+
+        def assign(inputs, names, placeholders, bounds):
+            name_h = {
+                n: p2h.hash_no_pad([ord(ch) for ch in n])[0] for n in names
+            }
+            for k in range(npl):
+                if k < len(names):
+                    inputs[ph_name_hs[k]] = name_h[names[k]]
+                    set_u256(inputs, ph_values[k], placeholders.get(names[k]))
+                    inputs[ph_active[k]] = 1
+                else:
+                    inputs[ph_name_hs[k]] = 0
+                    set_u256(inputs, ph_values[k], 0)
+                    inputs[ph_active[k]] = 0
+            set_u256(inputs, bound_min, bounds.min_block)
+            set_u256(inputs, bound_max, bounds.max_block)
+
+    count = c.count
+    count_u = U256Target(tuple([b.zero()] * 7 + [count]))
+    results = []
+    for j in range(p.num_outputs):
+        oh = _agg_onehot(b, c.agg_ids[j])
+        avg, _ = u256_div_mod(b, c.outputs[j], count_u)
+        v = u256_select(
+            b, oh[int(AggregationOperation.AVG)], avg, c.outputs[j]
+        )
+        results.append(v)
+    pis = (
+        list(c.comp) + list(c.ph) + block_root
+        + [lm for o in results for lm in o.limbs] + [count]
+    )
+    pis += [b.zero()] * (W - len(pis))
+    b.register_public_inputs(pis)
+    return assign
+
+
+def build_tree_bound_row(
+    b: CircuitBuilder,
+    params: UniversalQueryParams,
+    row_tree_depth: int,
+    index_tree_depth: int,
+    pad_to: Optional[int] = None,
+):
+    """Universal query circuit + tree binding (row_chunk_processing.rs
+    RowProcessingGadget): recompute the cells root from the column wires,
+    path-verify the row into the rows tree and the rows tree into the
+    index tree, expose index root + boundary info.  Returns the assign
+    closure; registers base PIs + index_root(4) + boundary(64) [+ zero pad
+    to `pad_to`]."""
+    uc = build_universal_query_circuit(params, builder=b)
+    cols = uc.wires["columns"]
+    cids = uc.wires["column_ids"]
+    cells_root = _cells_root_circuit(b, cids[2:], cols[2:])
+    row_path = add_merkle_path_with_neighbors(
+        b, cids[1], cols[1], cells_root, row_tree_depth
+    )
+    index_path = add_merkle_path_with_neighbors(
+        b, cids[0], cols[0], row_path.root, index_tree_depth
+    )
+    extra = list(index_path.root) + (
+        row_path.node.to_targets() + index_path.node.to_targets()
+    )
+    if pad_to is not None:
+        extra += [b.zero()] * (pad_to - _row_base_width(params) - len(extra))
+    b.register_public_inputs(extra)
+
+    def assign(inputs, pis, column_ids, row, placeholders, bounds,
+               binding: "RowBinding"):
+        uc.assign(inputs, pis, column_ids, row, placeholders, bounds)
+        set_merkle_path_with_neighbors(inputs, row_path, binding.row_w)
+        set_merkle_path_with_neighbors(inputs, index_path, binding.index_w)
+
+    return assign
+
+
+@dataclass
+class RowBinding:
+    """Host-side Merkle-path witnesses binding one row to the committed
+    trees: `row_w` from the rows-tree view at the row's epoch, `index_w`
+    from the (latest) block tree."""
+
+    row_w: dict
+    index_w: dict
+
+    def boundary_fields(self) -> List[int]:
+        return node_info_fields(self.row_w) + node_info_fields(self.index_w)
+
+
+def make_row_binding(rows_view, row_key, block_view, block) -> RowBinding:
+    return RowBinding(
+        row_w=host_neighbor_path_from_tree(rows_view, row_key),
+        index_w=host_neighbor_path_from_tree(block_view, block),
+    )
+
+
 class QueryCircuits:
     """The query-side circuit sets: row (universal) -> chunks -> revelation.
 
     `ivc_framework`: the finalized IVC set from VerifiableDbCircuits (the
     revelation circuit verifies an IVC proof against it); pass None to
-    build a standalone query stack without database binding (testing)."""
+    build a standalone query stack without database binding (testing).
+
+    `row_tree_depth` / `index_tree_depth` > 0 enable TREE-BOUND mode: row
+    proofs carry Merkle paths into the rows/index trees and the chunk
+    stack enforces the consecutive-rows completeness argument."""
 
     def __init__(
         self,
         config: CircuitConfig,
         params: UniversalQueryParams = UniversalQueryParams(),
         ivc_framework: Optional[RecursionFramework] = None,
+        row_tree_depth: int = 0,
+        index_tree_depth: int = 0,
     ):
         self.config = config
         self.params = params
         self.ivc_framework = ivc_framework
-        W = _row_pi_width(params)
+        self.bind = row_tree_depth > 0
+        self.row_tree_depth = row_tree_depth
+        self.index_tree_depth = index_tree_depth
+        W = _pi_width(params, self.bind)
+        self.W = W
+        bind = self.bind
 
         # --- row set: the universal query circuit, one VK for all queries
         self.row = RecursionFramework(config, W, set_height=1)
 
         def row_build(b):
-            uc = build_universal_query_circuit(params, builder=b)
-            return uc.assign
+            if not bind:
+                uc = build_universal_query_circuit(params, builder=b)
+                pad = [b.zero()] * (W - _row_base_width(params))
+                b.register_public_inputs(pad)
+                return uc.assign
+            return build_tree_bound_row(
+                b, params, row_tree_depth, index_tree_depth, pad_to=W
+            )
 
         self.row.add_leaf_circuit("row", row_build)
         self.row.finalize()
@@ -182,29 +543,7 @@ class QueryCircuits:
 
         def chunk_from_rows(n_rows):
             def build(b, children, foreign):
-                rows = [_RowPis.parse(p, f.public_inputs()) for f in foreign]
-                r0 = rows[0]
-                count = r0.pred
-                for r in rows[1:]:
-                    _connect_lists(b, r.comp, r0.comp)
-                    _connect_lists(b, r.ph, r0.ph)
-                    _connect_lists(b, r.agg_ids, r0.agg_ids)
-                    count = b.add(count, r.pred)
-                outs = []
-                for j in range(p.num_outputs):
-                    oh = _agg_onehot(b, r0.agg_ids[j])
-                    acc = _row_contribution(b, rows[0].pred, rows[0].outputs[j], oh)
-                    for r in rows[1:]:
-                        c = _row_contribution(b, r.pred, r.outputs[j], oh)
-                        acc = _combine(b, acc, c, oh)
-                    outs.append(acc)
-                pis = (
-                    list(r0.comp) + list(r0.ph) + list(r0.agg_ids)
-                    + [l for o in outs for l in o.limbs] + [count]
-                )
-                pis += [b.zero()] * (W - len(pis))
-                b.register_public_inputs(pis)
-                return None
+                return build_chunk_from_rows(b, p, W, bind, foreign)
 
             return build
 
@@ -216,23 +555,7 @@ class QueryCircuits:
         )
 
         def merge_build(b, children):
-            l = _ChunkPis.parse(p, children[0].public_inputs())
-            r = _ChunkPis.parse(p, children[1].public_inputs())
-            _connect_lists(b, r.comp, l.comp)
-            _connect_lists(b, r.ph, l.ph)
-            _connect_lists(b, r.agg_ids, l.agg_ids)
-            outs = []
-            for j in range(p.num_outputs):
-                oh = _agg_onehot(b, l.agg_ids[j])
-                outs.append(_combine(b, l.outputs[j], r.outputs[j], oh))
-            count = b.add(l.count, r.count)
-            pis = (
-                list(l.comp) + list(l.ph) + list(l.agg_ids)
-                + [lm for o in outs for lm in o.limbs] + [count]
-            )
-            pis += [b.zero()] * (W - len(pis))
-            b.register_public_inputs(pis)
-            return None
+            return build_chunk_merge(b, p, W, bind, children)
 
         self.chunk.add_aggregation_circuit("chunk_merge", 2, merge_build)
         self.chunk.finalize()
@@ -242,31 +565,10 @@ class QueryCircuits:
         foreign = [self.chunk] + ([ivc_framework] if ivc_framework else [])
 
         def reveal_build(b, children, foreign_uvs):
-            from mp2_tpu.circuit.gadgets.u256 import u256_div_mod
-
-            c = _ChunkPis.parse(p, foreign_uvs[0].public_inputs())
-            if len(foreign_uvs) > 1:
-                ivc_pis = foreign_uvs[1].public_inputs()
-                block_root = list(ivc_pis[0:4])
-            else:
-                block_root = [b.zero()] * 4
-            count = c.count
-            count_u = U256Target(tuple([b.zero()] * 7 + [count]))
-            results = []
-            for j in range(p.num_outputs):
-                oh = _agg_onehot(b, c.agg_ids[j])
-                avg, _ = u256_div_mod(b, c.outputs[j], count_u)
-                v = u256_select(
-                    b, oh[int(AggregationOperation.AVG)], avg, c.outputs[j]
-                )
-                results.append(v)
-            pis = (
-                list(c.comp) + list(c.ph) + block_root
-                + [l for o in results for l in o.limbs] + [count]
+            return build_revelation(
+                b, p, W, bind, foreign_uvs[0],
+                foreign_uvs[1] if len(foreign_uvs) > 1 else None,
             )
-            pis += [b.zero()] * (W - len(pis))
-            b.register_public_inputs(pis)
-            return None
 
         self.revelation.add_aggregation_circuit(
             "revelation", 0, reveal_build, foreign=foreign
@@ -274,34 +576,64 @@ class QueryCircuits:
         self.revelation.finalize()
 
     # ---------------------------------------------------------------- prove
-    def prove_row(self, pis, column_ids, row, placeholders, bounds):
+    def prove_row(
+        self, pis, column_ids, row, placeholders, bounds,
+        binding: Optional[RowBinding] = None,
+    ):
+        args = (pis, column_ids, row, placeholders, bounds)
+        if self.bind:
+            assert binding is not None, "tree-bound mode needs a RowBinding"
+            args = args + (binding,)
         return self.row.prove_leaf(
-            "row", (pis, column_ids, row, placeholders, bounds),
-            self._row_pis(pis, column_ids, row, placeholders, bounds),
+            "row", args,
+            self._row_pis(pis, column_ids, row, placeholders, bounds, binding),
         )
 
-    def _row_pis(self, pis, column_ids, row, placeholders, bounds):
+    def _row_pis(self, pis, column_ids, row, placeholders, bounds,
+                 binding: Optional[RowBinding] = None):
         from mp2_tpu.vdb.query.universal import UniversalQueryCircuit
 
         uc = UniversalQueryCircuit(params=self.params, data=None, assign=None)
-        return uc.expected_public_inputs(
+        vals = uc.expected_public_inputs(
             pis, column_ids, row, placeholders, bounds
         )
+        if self.bind:
+            vals = list(vals) + [
+                int(v) for v in binding.index_w["root"]
+            ] + binding.boundary_fields()
+        return list(vals) + [0] * (self.W - len(vals))
+
+    def _query_bounds4(self, bounds) -> Tuple[int, int, int, int]:
+        """(min_primary, max_primary, min_secondary, max_secondary) — the
+        parsil subset constrains only the block range."""
+        return (bounds.min_block, bounds.max_block, 0, U256_MAX)
 
     def prove_query(
-        self, pis, column_ids, rows, placeholders, bounds, ivc_env=None
+        self, pis, column_ids, rows, placeholders, bounds, ivc_env=None,
+        bindings: Optional[List[RowBinding]] = None,
     ) -> Tuple[WrappedEnvelope, List[int]]:
         """Prove every row, chunk them pairwise, merge, reveal.  Returns the
-        revelation envelope + its user PIs."""
+        revelation envelope + its user PIs.
+
+        Tree-bound mode: `rows` must be ALL rows of the committed trees
+        within the query bounds, in index order (block, then secondary
+        value), with `bindings[i]` the Merkle-path witnesses of `rows[i]`.
+        The predicate bit gates each row's contribution."""
+        if self.bind:
+            assert bindings is not None and len(bindings) == len(rows)
+        else:
+            bindings = [None] * len(rows)
         row_envs = [
-            self.prove_row(pis, column_ids, r, placeholders, bounds)
-            for r in rows
+            self.prove_row(pis, column_ids, r, placeholders, bounds, bi)
+            for r, bi in zip(rows, bindings)
         ]
         row_pi_vals = [
-            self._row_pis(pis, column_ids, r, placeholders, bounds)
-            for r in rows
+            self._row_pis(pis, column_ids, r, placeholders, bounds, bi)
+            for r, bi in zip(rows, bindings)
         ]
-        W = _row_pi_width(self.params)
+        W = self.W
+        qb4 = self._query_bounds4(bounds)
+        qb4_fields = [f for v in qb4 for f in u256_to_fields(v)]
 
         no = self.params.num_outputs
 
@@ -317,6 +649,8 @@ class QueryCircuits:
             if agg == int(AggregationOperation.MAX):
                 return max(a, c)
             return (a + c) % (1 << 256)
+
+        row_base = _row_base_width(self.params)
 
         def chunk_vals(pivs):
             """Host mirror of the in-circuit chunk aggregation."""
@@ -342,7 +676,18 @@ class QueryCircuits:
                 list(comp) + list(ph) + list(aggs)
                 + [f for o in outs for f in u256_to_fields(o)] + [count]
             )
+            if self.bind:
+                vals += list(pivs[0][row_base : row_base + 4])  # index_root
+                vals += qb4_fields
+                vals += list(
+                    pivs[0][row_base + 4 : row_base + 4 + BOUNDARY_ROW_LEN]
+                )
+                vals += list(
+                    pivs[-1][row_base + 4 : row_base + 4 + BOUNDARY_ROW_LEN]
+                )
             return vals + [0] * (W - len(vals))
+
+        chunk_args = (qb4,) if self.bind else ()
 
         # pair rows into chunks
         chunk_envs = []
@@ -352,18 +697,21 @@ class QueryCircuits:
             if i + 1 < len(row_envs):
                 piv = chunk_vals([row_pi_vals[i], row_pi_vals[i + 1]])
                 env = self.chunk.prove_aggregation(
-                    "chunk_pair", [], (), piv,
+                    "chunk_pair", [], chunk_args, piv,
                     foreign_children=[row_envs[i], row_envs[i + 1]],
                 )
                 i += 2
             else:
                 piv = chunk_vals([row_pi_vals[i]])
                 env = self.chunk.prove_aggregation(
-                    "chunk_single", [], (), piv, foreign_children=[row_envs[i]]
+                    "chunk_single", [], chunk_args, piv,
+                    foreign_children=[row_envs[i]],
                 )
                 i += 1
             chunk_envs.append(env)
             chunk_piv.append(piv)
+
+        chunk_base = _chunk_base_width(self.params)
 
         def merge_vals(a, bv):
             aggs = a[8 : 8 + no]
@@ -378,6 +726,14 @@ class QueryCircuits:
                 list(a[0:8]) + list(aggs)
                 + [f for o in res for f in u256_to_fields(o)] + [count]
             )
+            if self.bind:
+                vals += list(a[chunk_base : chunk_base + 4])
+                vals += qb4_fields
+                vals += list(
+                    a[chunk_base + 36 : chunk_base + 36 + BOUNDARY_ROW_LEN]
+                )
+                rb_off = chunk_base + 36 + BOUNDARY_ROW_LEN
+                vals += list(bv[rb_off : rb_off + BOUNDARY_ROW_LEN])
             return vals + [0] * (W - len(vals))
 
         while len(chunk_envs) > 1:
@@ -417,8 +773,12 @@ class QueryCircuits:
         )
         reveal_piv += [0] * (W - len(reveal_piv))
         foreign_children = [chunk_envs[0]] + ([ivc_env] if ivc_env else [])
+        reveal_args = ()
+        if self.bind:
+            reveal_args = (pis.placeholder_names, placeholders, bounds)
         env = self.revelation.prove_aggregation(
-            "revelation", [], (), reveal_piv, foreign_children=foreign_children
+            "revelation", [], reveal_args, reveal_piv,
+            foreign_children=foreign_children,
         )
         return env, reveal_piv
 

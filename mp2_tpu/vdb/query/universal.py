@@ -304,6 +304,9 @@ class UniversalQueryCircuit:
     params: UniversalQueryParams
     data: CircuitData
     assign: callable
+    # key wires for callers embedding this circuit (tree-binding layers):
+    # {columns: [U256Target], column_ids: [Target]} — None on host-only use
+    wires: Optional[Dict] = None
 
     def prove_row(self, pis, column_ids, row, placeholders, bounds):
         inputs: Dict = {}
@@ -492,4 +495,7 @@ def build_universal_query_circuit(
                 inputs[t] = 1 if k == sel else 0
 
     data = b.build() if builder is None else None
-    return UniversalQueryCircuit(params=p, data=data, assign=assign)
+    return UniversalQueryCircuit(
+        params=p, data=data, assign=assign,
+        wires=dict(columns=columns, column_ids=column_ids),
+    )

@@ -1,0 +1,176 @@
+"""REAL-PROOF end-to-end: the committed DB stack (cells -> rows -> block ->
+IVC, every layer verified in-circuit against the lower layer's fixed-VK set)
+chained into the tree-bound query stack, whose revelation proof verifies BOTH
+the query chunk root and the IVC proof in-circuit and binds them together
+(index root == IVC block-tree root).
+
+This is the product loop of the reference (verifiable-db/src/api.rs +
+query/api.rs + revelation/revelation_without_results_tree.rs): one final
+proof attests "this SQL result is correct over the committed database".
+"""
+
+import os
+
+import pytest
+
+from mp2_tpu.parsil.assembler import parse_and_assemble
+from mp2_tpu.parsil.symbols import ZkColumn, ZkTable
+from mp2_tpu.prover.config import test_config
+from mp2_tpu.vdb import circuits as C
+from mp2_tpu.vdb import digests as D
+from mp2_tpu.vdb.query.chunks import QueryCircuits, make_row_binding
+from mp2_tpu.vdb.query.ops import Placeholders, QueryBounds
+from mp2_tpu.vdb.query.universal import UniversalQueryParams
+from mp2_tpu.vdb.trees import (
+    BlockPayload,
+    Cell,
+    RowPayload,
+    build_cells_tree,
+    new_block_tree,
+    new_row_tree,
+)
+
+slow = pytest.mark.skipif(
+    not os.environ.get("MP2_SLOW"), reason="set MP2_SLOW=1 for prove-heavy tests"
+)
+
+BLOCK_ID, KEY_ID, VALUE_ID = 1, 2, 3
+COLUMN_IDS = [BLOCK_ID, KEY_ID, VALUE_ID]
+TABLE = ZkTable(
+    "t",
+    [
+        ZkColumn("block", BLOCK_ID, "primary_index"),
+        ZkColumn("key", KEY_ID, "secondary_index"),
+        ZkColumn("value", VALUE_ID),
+    ],
+)
+PARAMS = UniversalQueryParams(
+    num_columns=3, num_placeholders=4, num_predicate_ops=4,
+    num_result_ops=2, num_outputs=2,
+)
+SQL = (
+    "SELECT SUM(value), COUNT(*) FROM t WHERE block >= $MIN_BLOCK "
+    "AND block <= $MAX_BLOCK"
+)
+
+
+def _prove_rows_tree(vdb, rows_db, cells_envs):
+    """One real proof per rows-tree node, children verified in-circuit."""
+
+    def prove(key):
+        l, r = rows_db.tree.children(key)
+        payload = rows_db.payload(key)
+        children = [prove(c) for c in (l, r) if c is not None]
+        pis = C.rows_pi_values(payload)
+        if not children:
+            return vdb.rows.prove_aggregation(
+                "rows_leaf", [],
+                (payload.secondary, payload.row_unique_data), pis,
+                foreign_children=[cells_envs[key]],
+            )
+        if l is not None and r is not None:
+            return vdb.rows.prove_aggregation(
+                "rows_full", children,
+                (payload.secondary, payload.row_unique_data), pis,
+                foreign_children=[cells_envs[key]],
+            )
+        return vdb.rows.prove_aggregation(
+            "rows_partial", children,
+            (payload.secondary, payload.row_unique_data, l is not None), pis,
+            foreign_children=[cells_envs[key]],
+        )
+
+    return prove(rows_db.root())
+
+
+@slow
+def test_real_full_stack_db_to_revelation():
+    cfg = test_config()
+    vdb = C.VerifiableDbCircuits(cfg)
+
+    entries = {7: 10, 8: 99}
+    block_no = 100
+    rows_db = new_row_tree()
+    block_db = new_block_tree()
+    cells_results = {}
+
+    def tx(t):
+        for k, v in entries.items():
+            cells = build_cells_tree([Cell(VALUE_ID, v, False)])
+            cells_results[(k, 0)] = cells
+            t.store(
+                (k, 0),
+                RowPayload(
+                    secondary=Cell(KEY_ID, k, False),
+                    row_unique_data=(k, k, k, k),
+                    cells=cells,
+                ),
+            )
+
+    rows_db.in_transaction(tx)
+    epoch = rows_db.epoch
+
+    # cells trees: one real proof chain per row
+    cells_envs = {
+        key: vdb.prove_cells_tree(res) for key, res in cells_results.items()
+    }
+    rows_env = _prove_rows_tree(vdb, rows_db, cells_envs)
+    assert vdb.rows.verify(rows_env)
+
+    root_pl = rows_db.payload(rows_db.root())
+    digest = D.compute_final_digest(
+        False, root_pl.individual_vd, root_pl.multiplier_vd,
+        root_pl.multiplier_cnt,
+    )
+    block_db.in_transaction(
+        lambda t: t.store(
+            block_no,
+            BlockPayload(
+                index_id=BLOCK_ID, block_number=block_no,
+                rows_hash=root_pl.hash, rows_digest=digest,
+            ),
+        )
+    )
+    blk = block_db.payload(block_no)
+    blk_env = vdb.block.prove_aggregation(
+        "block_leaf", [], (BLOCK_ID, block_no, False),
+        C.block_pi_values(blk), foreign_children=[rows_env],
+    )
+    assert vdb.block.verify(blk_env)
+
+    from mp2_tpu.hash import poseidon2_host as p2h
+
+    md = p2h.hash_no_pad([11, 22, 33])
+    ivc_env = vdb.ivc.prove_aggregation(
+        "ivc_first", [], (md, block_no),
+        C.ivc_pi_values(blk.hash, md, block_no), foreign_children=[blk_env],
+    )
+    assert vdb.ivc.verify(ivc_env)
+
+    # --- query stack bound to the committed trees AND the IVC proof
+    qc = QueryCircuits(
+        cfg, PARAMS, ivc_framework=vdb.ivc,
+        row_tree_depth=4, index_tree_depth=4,
+    )
+    pis = parse_and_assemble(SQL, TABLE)
+    ph = Placeholders({"$MIN_BLOCK": 100, "$MAX_BLOCK": 101})
+    bounds = QueryBounds(100, 101)
+
+    view = rows_db.view_at(epoch)
+    rows, bindings = [], []
+    for k in sorted(entries):
+        rows.append([block_no, k, entries[k]])
+        bindings.append(make_row_binding(view, (k, 0), block_db, block_no))
+
+    env, reveal = qc.prove_query(
+        pis, COLUMN_IDS, rows, ph, bounds, ivc_env=ivc_env, bindings=bindings
+    )
+    assert qc.verify(env)
+    # the revelation exposes the IVC's block-tree root
+    assert list(reveal[8:12]) == [int(x) for x in blk.hash]
+    # SUM(value) = 109, COUNT = 2
+    got = 0
+    for l in reveal[12:20]:
+        got = (got << 32) | l
+    assert got == 109
+    assert reveal[12 + 16] == 2

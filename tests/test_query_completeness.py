@@ -1,0 +1,373 @@
+"""Tree-bound query stack: rows path-verified into the committed rows/index
+trees with the consecutive-rows completeness argument (reference:
+verifiable-db/src/query/{row_chunk_processing.rs, chunk_aggregation.rs,
+row_chunk_gadgets/consecutive_rows.rs})."""
+
+import os
+
+import pytest
+
+from mp2_tpu.circuit.builder import CircuitBuilder
+from mp2_tpu.field.ecgfp5 import NEUTRAL
+from mp2_tpu.parsil.assembler import parse_and_assemble
+from mp2_tpu.parsil.symbols import ZkColumn, ZkTable
+from mp2_tpu.prover.config import test_config
+from mp2_tpu.vdb import digests as D
+from mp2_tpu.vdb.query.chunks import (
+    RowBinding,
+    build_tree_bound_row,
+    make_row_binding,
+)
+from mp2_tpu.vdb.query.ops import Placeholders, QueryBounds
+from mp2_tpu.vdb.query.universal import (
+    UniversalQueryCircuit,
+    UniversalQueryParams,
+)
+from mp2_tpu.vdb.trees import (
+    BlockPayload,
+    Cell,
+    RowPayload,
+    build_cells_tree,
+    new_block_tree,
+    new_row_tree,
+)
+
+slow = pytest.mark.skipif(
+    not os.environ.get("MP2_SLOW"), reason="set MP2_SLOW=1 for prove-heavy tests"
+)
+
+BLOCK_ID, KEY_ID, VALUE_ID = 1, 2, 3
+COLUMN_IDS = [BLOCK_ID, KEY_ID, VALUE_ID]
+TABLE = ZkTable(
+    "t",
+    [
+        ZkColumn("block", BLOCK_ID, "primary_index"),
+        ZkColumn("key", KEY_ID, "secondary_index"),
+        ZkColumn("value", VALUE_ID),
+    ],
+)
+PARAMS = UniversalQueryParams(
+    num_columns=3, num_placeholders=4, num_predicate_ops=4,
+    num_result_ops=2, num_outputs=2,
+)
+SQL = (
+    "SELECT SUM(value), COUNT(*) FROM t WHERE block >= $MIN_BLOCK "
+    "AND block <= $MAX_BLOCK"
+)
+
+
+def make_db(blocks):
+    """blocks: {block_number: {key: value}} -> (rows_db, block_db,
+    epoch_of_block)."""
+    rows_db = new_row_tree()
+    block_db = new_block_tree()
+    epoch_of = {}
+    for blk in sorted(blocks):
+        entries = blocks[blk]
+
+        def tx(t, entries=entries):
+            for k, v in entries.items():
+                cells = build_cells_tree([Cell(VALUE_ID, v, False)])
+                t.store(
+                    (k, 0),
+                    RowPayload(
+                        secondary=Cell(KEY_ID, k, False),
+                        row_unique_data=(k, k, k, k),
+                        cells=cells,
+                    ),
+                )
+            for key in list(rows_db.payloads):
+                if key[0] not in entries:
+                    t.remove(key)
+
+        rows_db.in_transaction(tx)
+        epoch_of[blk] = rows_db.epoch
+        root_pl = rows_db.payload(rows_db.root())
+        digest = D.compute_final_digest(
+            False, root_pl.individual_vd, root_pl.multiplier_vd,
+            root_pl.multiplier_cnt,
+        )
+        block_db.in_transaction(
+            lambda t, blk=blk, h=root_pl.hash, d=digest: t.store(
+                blk,
+                BlockPayload(
+                    index_id=BLOCK_ID, block_number=blk,
+                    rows_hash=h, rows_digest=d,
+                ),
+            )
+        )
+    return rows_db, block_db, epoch_of
+
+
+def all_rows_in_order(blocks, rows_db, block_db, epoch_of):
+    """(row_values, RowBinding) for every row in every block, index order."""
+    out = []
+    for blk in sorted(blocks):
+        view = rows_db.view_at(epoch_of[blk])
+        for k in sorted(blocks[blk]):
+            out.append(
+                (
+                    [blk, k, blocks[blk][k]],
+                    make_row_binding(view, (k, 0), block_db, blk),
+                )
+            )
+    return out
+
+
+BLOCKS = {100: {7: 10, 8: 99}, 101: {7: 10, 9: 30}}
+
+
+def test_bound_row_circuit_matches_host():
+    """The row member recomputes cells root + both tree paths; its PIs are
+    the universal-circuit PIs + index root + boundary info."""
+    rows_db, block_db, epoch_of = make_db(BLOCKS)
+    pis = parse_and_assemble(SQL, TABLE)
+    ph = Placeholders({"$MIN_BLOCK": 100, "$MAX_BLOCK": 101})
+    bounds = QueryBounds(100, 101)
+
+    b = CircuitBuilder(test_config())
+    assign = build_tree_bound_row(b, PARAMS, 4, 4)
+    data = b.build()
+    host = UniversalQueryCircuit(params=PARAMS, data=None, assign=None)
+
+    for row, binding in all_rows_in_order(BLOCKS, rows_db, block_db, epoch_of):
+        inputs = {}
+        assign(inputs, pis, COLUMN_IDS, row, ph, bounds, binding)
+        expected = (
+            list(host.expected_public_inputs(pis, COLUMN_IDS, row, ph, bounds))
+            + [int(v) for v in binding.index_w["root"]]
+            + binding.boundary_fields()
+        )
+        w = data.generate_witness(inputs)
+        data.check_witness(w, expected)
+
+
+def test_bound_row_circuit_rejects_forged_value():
+    """Claiming a different column value than the committed row breaks the
+    cells-root binding."""
+    rows_db, block_db, epoch_of = make_db(BLOCKS)
+    pis = parse_and_assemble(SQL, TABLE)
+    ph = Placeholders({"$MIN_BLOCK": 100, "$MAX_BLOCK": 101})
+    bounds = QueryBounds(100, 101)
+
+    b = CircuitBuilder(test_config())
+    assign = build_tree_bound_row(b, PARAMS, 4, 4)
+    data = b.build()
+    host = UniversalQueryCircuit(params=PARAMS, data=None, assign=None)
+
+    (row, binding) = all_rows_in_order(BLOCKS, rows_db, block_db, epoch_of)[0]
+    forged = [row[0], row[1], row[2] + 5]
+    inputs = {}
+    assign(inputs, pis, COLUMN_IDS, forged, ph, bounds, binding)
+    expected = (
+        list(host.expected_public_inputs(pis, COLUMN_IDS, forged, ph, bounds))
+        + [int(v) for v in binding.index_w["root"]]
+        + binding.boundary_fields()
+    )
+    w = data.generate_witness(inputs)
+    with pytest.raises(AssertionError):
+        data.check_witness(w, expected)
+
+
+class _Stub:
+    def __init__(self, b, n):
+        self.ts = b.add_inputs(n)
+
+    def public_inputs(self):
+        return list(self.ts)
+
+    def assign(self, inputs, vals):
+        for t, v in zip(self.ts, vals):
+            inputs[t] = int(v)
+
+
+def _fixture():
+    from mp2_tpu.vdb.query.chunks import _pi_width
+
+    rows_db, block_db, epoch_of = make_db(BLOCKS)
+    pis = parse_and_assemble(SQL, TABLE)
+    ph = Placeholders({"$MIN_BLOCK": 100, "$MAX_BLOCK": 101})
+    bounds = QueryBounds(100, 101)
+    pairs = all_rows_in_order(BLOCKS, rows_db, block_db, epoch_of)
+    W = _pi_width(PARAMS, True)
+    host = UniversalQueryCircuit(params=PARAMS, data=None, assign=None)
+
+    def row_piv(row, bi):
+        vals = list(
+            host.expected_public_inputs(pis, COLUMN_IDS, row, ph, bounds)
+        )
+        vals += [int(v) for v in bi.index_w["root"]] + bi.boundary_fields()
+        return vals + [0] * (W - len(vals))
+
+    return pis, ph, bounds, pairs, W, row_piv
+
+
+QB4 = (100, 101, 0, (1 << 256) - 1)
+
+
+def _chunk_piv(row_pivs, W):
+    """Host mirror of the chunk aggregation for the SUM/COUNT query."""
+    from mp2_tpu.utils.u256 import u256_to_fields
+    from mp2_tpu.vdb.query.chunks import BOUNDARY_ROW_LEN, _row_base_width
+
+    base = _row_base_width(PARAMS)
+    comp_ph = list(row_pivs[0][0:8])
+    aggs = list(row_pivs[0][14:16])
+    s = sum(
+        int.from_bytes(
+            b"".join(int(x).to_bytes(4, "big") for x in pv[16:24]), "big"
+        )
+        for pv in row_pivs
+        if pv[12]
+    )
+    count = sum(pv[12] for pv in row_pivs)
+    vals = (
+        comp_ph + aggs + u256_to_fields(s) + [0] * 7 + [count] + [count]
+        + list(row_pivs[0][base : base + 4])
+        + [f for v in QB4 for f in u256_to_fields(v)]
+        + list(row_pivs[0][base + 4 : base + 4 + BOUNDARY_ROW_LEN])
+        + list(row_pivs[-1][base + 4 : base + 4 + BOUNDARY_ROW_LEN])
+    )
+    return vals + [0] * (W - len(vals))
+
+
+def test_chunk_pair_body():
+    """Chunk body over two verified rows: aggregation + consecutiveness,
+    via stub children (fast path for the recursion member's logic)."""
+    from mp2_tpu.vdb.query.chunks import build_chunk_from_rows
+
+    pis, ph, bounds, pairs, W, row_piv = _fixture()
+    b = CircuitBuilder(test_config())
+    s1, s2 = _Stub(b, W), _Stub(b, W)
+    assign = build_chunk_from_rows(b, PARAMS, W, True, [s1, s2])
+    data = b.build()
+
+    for k in (0, 2):
+        (r1, b1), (r2, b2) = pairs[k], pairs[k + 1]
+        inputs = {}
+        pv1, pv2 = row_piv(r1, b1), row_piv(r2, b2)
+        s1.assign(inputs, pv1)
+        s2.assign(inputs, pv2)
+        assign(inputs, QB4)
+        w = data.generate_witness(inputs)
+        data.check_witness(w, _chunk_piv([pv1, pv2], W))
+
+    # NON-consecutive rows (skipping one) must be rejected
+    (r1, b1), (r2, b2) = pairs[0], pairs[2]
+    inputs = {}
+    s1.assign(inputs, row_piv(r1, b1))
+    s2.assign(inputs, row_piv(r2, b2))
+    assign(inputs, QB4)
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        data.check_witness(w, _chunk_piv([row_piv(r1, b1), row_piv(r2, b2)], W))
+
+
+def test_chunk_merge_body():
+    """Merge body: boundary consecutiveness across chunks + output fold."""
+    from mp2_tpu.vdb.query.chunks import build_chunk_merge
+
+    pis, ph, bounds, pairs, W, row_piv = _fixture()
+    pv = [row_piv(r, bi) for r, bi in pairs]
+    c1 = _chunk_piv(pv[0:2], W)
+    c2 = _chunk_piv(pv[2:4], W)
+
+    b = CircuitBuilder(test_config())
+    s1, s2 = _Stub(b, W), _Stub(b, W)
+    build_chunk_merge(b, PARAMS, W, True, [s1, s2])
+    data = b.build()
+
+    inputs = {}
+    s1.assign(inputs, c1)
+    s2.assign(inputs, c2)
+    merged = _chunk_piv(pv, W)
+    w = data.generate_witness(inputs)
+    data.check_witness(w, merged)
+
+    # wrong order (right chunk first) -> boundary check fails
+    inputs = {}
+    s1.assign(inputs, c2)
+    s2.assign(inputs, c1)
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        data.check_witness(w, merged)
+
+
+def test_revelation_body():
+    """Revelation body: placeholder-hash recomputation, bounds pinning,
+    extreme boundaries, IVC root binding."""
+    from mp2_tpu.vdb.query.chunks import build_revelation
+    from mp2_tpu.utils.u256 import u256_to_fields
+
+    pis, ph, bounds, pairs, W, row_piv = _fixture()
+    pv = [row_piv(r, bi) for r, bi in pairs]
+    root_chunk = _chunk_piv(pv, W)
+    from mp2_tpu.vdb.query.chunks import _chunk_base_width
+
+    base = _chunk_base_width(PARAMS)
+    ivc_piv = list(root_chunk[base : base + 4]) + [0] * 5  # block root + pad
+
+    b = CircuitBuilder(test_config())
+    sc, si = _Stub(b, W), _Stub(b, len(ivc_piv))
+    assign = build_revelation(b, PARAMS, W, True, sc, si)
+    data = b.build()
+
+    inputs = {}
+    sc.assign(inputs, root_chunk)
+    si.assign(inputs, ivc_piv)
+    assign(inputs, pis.placeholder_names, ph, bounds)
+    count = root_chunk[8 + 2 + 16]
+    s = 0
+    for l in root_chunk[10:18]:
+        s = (s << 32) | int(l)
+    reveal = (
+        list(root_chunk[0:8]) + list(ivc_piv[0:4])
+        + u256_to_fields(s) + [0] * 7 + [count] + [count]
+    )
+    reveal += [0] * (W - len(reveal))
+    w = data.generate_witness(inputs)
+    data.check_witness(w, reveal)
+
+    # a chunk claiming a different index root than the IVC's block root
+    # must be rejected
+    bad_ivc = [x + 1 for x in ivc_piv[0:4]] + [0] * 5
+    inputs = {}
+    sc.assign(inputs, root_chunk)
+    si.assign(inputs, bad_ivc)
+    assign(inputs, pis.placeholder_names, ph, bounds)
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        bad = list(reveal)
+        bad[8:12] = bad_ivc[0:4]
+        data.check_witness(w, bad)
+
+
+@slow
+def test_tree_bound_query_stack_end_to_end():
+    """Full tree-bound stack: every committed row proven with its Merkle
+    paths, chunks enforce consecutiveness, revelation pins placeholder
+    hash + bounds + extreme boundaries."""
+    from mp2_tpu.vdb.query.chunks import QueryCircuits
+
+    rows_db, block_db, epoch_of = make_db(BLOCKS)
+    qc = QueryCircuits(
+        test_config(), PARAMS, row_tree_depth=4, index_tree_depth=4
+    )
+    pis = parse_and_assemble(SQL, TABLE)
+    ph = Placeholders({"$MIN_BLOCK": 100, "$MAX_BLOCK": 101})
+    bounds = QueryBounds(100, 101)
+
+    pairs = all_rows_in_order(BLOCKS, rows_db, block_db, epoch_of)
+    rows = [r for r, _ in pairs]
+    bindings = [bi for _, bi in pairs]
+    env, reveal_pis = qc.prove_query(
+        pis, COLUMN_IDS, rows, ph, bounds, bindings=bindings
+    )
+    assert qc.verify(env)
+    # SUM(value) over all 4 rows = 10+99+10+30 = 149; COUNT = 4
+    got_sum = 0
+    for l in reveal_pis[12:20]:
+        got_sum = (got_sum << 32) | l
+    assert got_sum == 149
+    got_count = reveal_pis[12 + 16]
+    assert got_count == 4

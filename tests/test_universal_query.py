@@ -113,8 +113,8 @@ def test_query_stack_end_to_end():
     # host cross-check: SUM(value)=60, COUNT=3
     outs = [eval_result_row(pis.result, r, ph)[0] for r in rows]
     agg = aggregate_rows(pis.result, outs)
-    no = qc.params.num_outputs
+    # revelation PI layout: comp(4) ph(4) block_root(4) results(8*no) count
     got0 = 0
-    for l in reveal_pis[8 + no + 0 : 8 + no + 8]:
+    for l in reveal_pis[12:20]:
         got0 = (got0 << 32) | l
     assert got0 == agg[0]
