@@ -10,11 +10,16 @@ pairing (generic Miller loop — bilinearity self-tested at load), Fr FFT,
 and Groth16 setup/prove/verify over an R1CS.
 
 Scope vs the reference: the reference's gnark circuit verifies the wrapped
-plonky2 proof INSIDE the SNARK (gnark-plonky2-verifier); here the Groth16
-statement is the squaring-chain binding commitment of the revelation
-public inputs — a real SNARK binding the revealed results, with the full
-in-SNARK TP2 verifier as the tracked next step (NEXT.md).  The CRS is
-generated in-process (dev-grade trusted setup, like gnark's test setup).
+plonky2 proof INSIDE the SNARK (gnark-plonky2-verifier).  Here the Groth16
+statement (wrap_revelation_poseidon) recomputes the Poseidon2-Goldilocks
+hash of the revelation public inputs IN-SNARK — the same commitment the
+TP2 transcript binds — via the R1CS gadget layer in groth16/r1cs.py
+(Goldilocks emulation + the full Poseidon2 permutation, ~94k constraints
+for one permutation).  Extending that statement to the complete in-SNARK
+TP2 verifier (transcript + FRI) is the tracked next step (NEXT.md); the
+cheap squaring-chain binding (wrap_revelation) remains as the fast path.
+The CRS is generated in-process (dev-grade trusted setup, like gnark's
+test setup).
 """
 
 from __future__ import annotations
@@ -56,6 +61,7 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64, ctypes.c_int,
         ]
+        lib.bn254_groth16_r1cs.restype = ctypes.c_int
         if lib.bn254_selftest() != 0:
             return None
         _LIB = lib
@@ -98,6 +104,58 @@ def wrap_revelation(public_inputs: List[int], seed: int = 42) -> "FinalProofBund
         commitment=hashlib.sha256(
             json.dumps(pis).encode()
         ).digest(),
+    )
+
+
+def _run_r1cs(r1cs, seed: int, tamper: bool) -> int:
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise Groth16Unavailable()
+    (ap, aw, ac), (bp, bw, bc), (cp, cw, cc), wit = r1cs.to_arrays()
+    LL = ctypes.POINTER(ctypes.c_longlong)
+    II = ctypes.POINTER(ctypes.c_int)
+    UU = ctypes.POINTER(ctypes.c_uint64)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(t)
+
+    return lib.bn254_groth16_r1cs(
+        ctypes.c_longlong(len(r1cs.rows)),
+        ctypes.c_longlong(len(r1cs.witness)),
+        ctypes.c_longlong(r1cs.num_public),
+        ptr(ap, LL), ptr(aw, II), ptr(ac, UU),
+        ptr(bp, LL), ptr(bw, II), ptr(bc, UU),
+        ptr(cp, LL), ptr(cw, II), ptr(cc, UU),
+        ptr(wit, UU), ctypes.c_uint64(seed), ctypes.c_int(1 if tamper else 0),
+    )
+
+
+def wrap_revelation_poseidon(
+    public_inputs: List[int], seed: int = 42, tamper: bool = False
+) -> "FinalProofBundle":
+    """Groth16-prove the POSEIDON2 commitment of the revelation public
+    inputs: the SNARK recomputes hash_no_pad(PIs) over emulated Goldilocks
+    (groth16/r1cs.py) and exposes PIs + hash as public inputs — the same
+    commitment the TP2 transcript binds.  `tamper=True` runs the
+    negative path (returns normally iff the forged proof was rejected)."""
+    from mp2_tpu.groth16.r1cs import build_pi_binding_circuit
+    from mp2_tpu.hash import poseidon2_host as p2h
+
+    pis = [int(x) for x in public_inputs]
+    r1cs, want = build_pi_binding_circuit(pis)
+    rc = _run_r1cs(r1cs, seed, tamper)
+    if tamper:
+        if rc != 1:
+            raise RuntimeError(f"tampered proof was NOT rejected: rc={rc}")
+    elif rc != 0:
+        raise RuntimeError(f"groth16 poseidon wrap failed: rc={rc}")
+    commitment = b"".join(int(h).to_bytes(8, "little") for h in want)
+    return FinalProofBundle(
+        revelation_public_inputs=pis,
+        groth16_calldata=commitment,
+        commitment=commitment,
     )
 
 

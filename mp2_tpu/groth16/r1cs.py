@@ -1,0 +1,315 @@
+"""R1CS circuit builder over BN254 Fr with Goldilocks-emulation gadgets and
+an in-SNARK Poseidon2-Goldilocks permutation/sponge.
+
+This is the statement layer of the Groth16 wrap (the role gnark circuits
+play in the reference, groth16-framework/src/lib.rs + the
+gnark-plonky2-verifier dependency): Goldilocks arithmetic is emulated in
+Fr with witnessed quotient/remainder reductions and bit range checks, and
+the Poseidon2 permutation is replayed exactly per the host golden model
+(hash/poseidon2_host.py).  The first shipped statement recomputes the
+Poseidon2 hash of the revelation public inputs IN-SNARK — the commitment
+the TP2 transcript binds — replacing round 1's squaring-chain stand-in.
+
+Everything here is prover-side circuit DEFINITION + witness: values are
+computed eagerly while constraints are recorded; the native BN254 backend
+(native/bn254.cc) consumes (matrices, witness) for setup/prove/verify.
+
+Key representation choices:
+  * Linear combinations are symbolic (additions and the Poseidon2 matmuls
+    are FREE — folded into R1CS rows).
+  * `LC.value` tracks the TRUE INTEGER value (not mod Fr), so magnitude
+    bounds for the witnessed reductions are exact.
+  * Inside the permutation every state element stays a FLAT lincomb over
+    already-reduced wires with coefficients normalized mod P_GL, so
+    magnitudes stay ~2^134 regardless of round depth (the internal matmul
+    diagonal entries are full 64-bit values).
+  * r < P is enforced via the structure of P = 2^64 - 2^32 + 1: a 64-bit
+    r is >= P iff its high 32 bits are all ones AND its low 32 bits are
+    nonzero — one AND-chain + one product row (cheaper than a second
+    64-bit decomposition).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+from mp2_tpu.field.goldilocks import P as P_GL
+from mp2_tpu.hash.constants import M4, RATE, ROUNDS_F, ROUNDS_P, WIDTH, load_table
+
+# BN254 scalar field
+R_FR = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+_EXT_RC, _INT_RC, _INT_DIAG = load_table()
+
+
+@dataclass
+class LC:
+    """Linear combination sum(coeff * wire) + const over Fr, with its TRUE
+    integer witness value (coeffs canonical in [0, R_FR))."""
+
+    terms: Dict[int, int]
+    const: int
+    value: int
+
+    def __add__(self, other):
+        if isinstance(other, int):
+            return LC(dict(self.terms), self.const + other,
+                      self.value + other)
+        t = dict(self.terms)
+        for w, c in other.terms.items():
+            t[w] = t.get(w, 0) + c
+        return LC(t, self.const + other.const, self.value + other.value)
+
+    def scale(self, k: int) -> "LC":
+        return LC({w: c * k for w, c in self.terms.items()},
+                  self.const * k, self.value * k)
+
+
+def _lc_zero() -> LC:
+    return LC({}, 0, 0)
+
+
+class R1CS:
+    def __init__(self):
+        self.witness: List[int] = [1]  # wire 0 = constant 1
+        self.num_public = 0  # wires 1..num_public are public
+        self.rows: List[Tuple[Dict, Dict, Dict]] = []  # (A, B, C) sparse
+
+    # ------------------------------------------------------------ wires
+    def new_wire(self, value: int) -> int:
+        self.witness.append(value % R_FR)
+        return len(self.witness) - 1
+
+    def lc(self, wire: int) -> LC:
+        return LC({wire: 1}, 0, self.witness[wire])
+
+    def const_lc(self, v: int) -> LC:
+        return LC({}, v, v)
+
+    def public_input(self, value: int) -> LC:
+        w = self.new_wire(value)
+        assert w == self.num_public + 1, "publics must be declared first"
+        self.num_public += 1
+        return self.lc(w)
+
+    def normalize_gl(self, x: LC) -> LC:
+        """Reduce coefficients/const mod P_GL and recompute the true value
+        (pure symbol manipulation — no constraints).  Changes the value by
+        a multiple of P_GL only."""
+        terms = {w: c % P_GL for w, c in x.terms.items()}
+        terms = {w: c for w, c in terms.items() if c}
+        const = x.const % P_GL
+        value = const + sum(c * self.witness[w] for w, c in terms.items())
+        return LC(terms, const, value)
+
+    # ------------------------------------------------------- constraints
+    @staticmethod
+    def _row(lc: LC) -> Dict[int, int]:
+        d = {w: c % R_FR for w, c in lc.terms.items()}
+        if lc.const % R_FR:
+            d[0] = (d.get(0, 0) + lc.const) % R_FR
+        return {w: c for w, c in d.items() if c}
+
+    def enforce(self, a: LC, b: LC, c: LC) -> None:
+        assert (a.value % R_FR) * (b.value % R_FR) % R_FR == c.value % R_FR, (
+            "unsatisfied row"
+        )
+        self.rows.append((self._row(a), self._row(b), self._row(c)))
+
+    def enforce_zero(self, a: LC) -> None:
+        self.enforce(a, self.const_lc(1), self.const_lc(0))
+
+    def mul(self, a: LC, b: LC) -> LC:
+        w = self.new_wire((a.value % R_FR) * (b.value % R_FR) % R_FR)
+        out = self.lc(w)
+        self.enforce(a, b, out)
+        return out
+
+    def bit(self, value: int) -> LC:
+        assert value in (0, 1)
+        w = self.new_wire(value)
+        l = self.lc(w)
+        self.enforce(l, l + (-1), self.const_lc(0))
+        return l
+
+    def bits_of(self, value: int, n: int) -> Tuple[LC, List[LC]]:
+        """n fresh bit wires + their weighted sum as an LC (no sum wire)."""
+        assert 0 <= value < (1 << n), "value out of declared bit range"
+        bits = [self.bit((value >> i) & 1) for i in range(n)]
+        acc = _lc_zero()
+        for i, b in enumerate(bits):
+            acc = acc + b.scale(1 << i)
+        return acc, bits
+
+    # -------------------------------------------------- Goldilocks gadgets
+    def _enforce_lt_p(self, r_bits: List[LC]) -> None:
+        """64-bit r < P via P's structure: reject (high 32 all ones AND
+        low 32 nonzero)."""
+        hi_and = r_bits[32]
+        for b in r_bits[33:64]:
+            hi_and = self.mul(hi_and, b)
+        lo_sum = _lc_zero()
+        for i, b in enumerate(r_bits[:32]):
+            lo_sum = lo_sum + b.scale(1 << i)
+        self.enforce(hi_and, lo_sum, self.const_lc(0))
+
+    def gl_reduce(self, x: LC, in_bits: int) -> LC:
+        """x (TRUE value in [0, 2^in_bits)) -> x mod P_GL.  Witnessed q, r
+        with x = q*P + r, q range-checked, r 64-bit with r < P."""
+        xv = x.value
+        assert 0 <= xv < (1 << in_bits), "gl_reduce: value exceeds bits"
+        q, r = divmod(xv, P_GL)
+        q_bits = max(in_bits - 63, 1)
+        q_lc, _ = self.bits_of(q, q_bits)
+        r_lc, rb = self.bits_of(r, 64)
+        self._enforce_lt_p(rb)
+        self.enforce_zero(x + q_lc.scale(-P_GL) + r_lc.scale(-1))
+        return r_lc
+
+    def gl_input_check(self, x: LC) -> None:
+        """Bind a witnessed input to canonical Goldilocks: 64-bit + < P."""
+        _, bits = self.bits_of(x.value, 64)
+        acc = _lc_zero()
+        for i, b in enumerate(bits):
+            acc = acc + b.scale(1 << i)
+        self.enforce_zero(x + acc.scale(-1))
+        self._enforce_lt_p(bits)
+
+    def gl_mul(self, a: LC, b: LC, bits: int = 128) -> LC:
+        raw = self.mul(a, b)
+        raw = LC(raw.terms, raw.const, a.value * b.value)  # true product
+        return self.gl_reduce(raw, bits)
+
+    # --------------------------------------------------------- Poseidon2
+    def _sbox(self, x: LC, in_bits: int) -> LC:
+        if in_bits > 64:
+            x = self.gl_reduce(x, in_bits)
+        x2 = self.gl_mul(x, x)
+        x3 = self.gl_mul(x2, x)
+        x6 = self.gl_mul(x3, x3)
+        return self.gl_mul(x6, x)
+
+    @staticmethod
+    def _ext_linear(state: List[LC]) -> List[LC]:
+        chunks = []
+        for i in range(0, WIDTH, 4):
+            c = state[i : i + 4]
+            chunks.append([
+                sum((c[j].scale(M4[i2][j]) for j in range(4)), _lc_zero())
+                for i2 in range(4)
+            ])
+        total = [
+            sum((ch[i2] for ch in chunks), _lc_zero()) for i2 in range(4)
+        ]
+        out: List[LC] = []
+        for ch in chunks:
+            out.extend(ch[i2] + total[i2] for i2 in range(4))
+        return out
+
+    def _int_linear(self, state: List[LC]) -> List[LC]:
+        s = sum(state[1:], state[0])
+        out = [s + state[i].scale(_INT_DIAG[i] - 1) for i in range(WIDTH)]
+        # normalize: flat coefficients mod P keep magnitudes ~2^134
+        # regardless of round depth
+        return [self.normalize_gl(x) for x in out]
+
+    def poseidon2_permute(self, state: List[LC]) -> List[LC]:
+        """Mirrors poseidon2_host.permute; inputs must be reduced (< P).
+        Outputs reduced."""
+        # magnitude bound of a normalized flat lincomb: coefficients and
+        # wire values < P => each term < P^2 < 2^128; the internal-round
+        # lincombs span <= 12 + 22 wires + const, so value < 2^134
+        # ext_linear bound: chunk < 16P (max M4 row sum), total < 48P,
+        # out < 64P < 2^70; + round constant stays < 2^71
+        NORM_BITS = 135
+        EXT_BITS = 71
+        half = ROUNDS_F // 2
+        st = self._ext_linear(state)
+        for r in range(half):
+            st = [x + rc for x, rc in zip(st, _EXT_RC[r])]
+            st = [self._sbox(x, EXT_BITS) for x in st]
+            st = self._ext_linear(st)
+        for r in range(ROUNDS_P):
+            s0 = self._sbox(st[0] + _INT_RC[r], NORM_BITS)
+            st = self._int_linear([s0] + st[1:])
+        first = True
+        for r in range(half, ROUNDS_F):
+            st = [x + rc for x, rc in zip(st, _EXT_RC[r])]
+            st = [self._sbox(x, NORM_BITS if first else EXT_BITS) for x in st]
+            st = self._ext_linear(st)
+            first = False
+        return [self.gl_reduce(x, EXT_BITS) for x in st]
+
+    def poseidon2_hash_no_pad(self, inputs: List[LC], num_outputs: int = 4
+                              ) -> List[LC]:
+        """Overwrite-mode sponge (hash_n_to_m_no_pad semantics)."""
+        state = [self.const_lc(0) for _ in range(WIDTH)]
+        for i in range(0, len(inputs), RATE):
+            chunk = inputs[i : i + RATE]
+            state[: len(chunk)] = list(chunk)
+            state = self.poseidon2_permute(state)
+        return state[:num_outputs]
+
+    # ------------------------------------------------------------- export
+    def check(self) -> bool:
+        w = self.witness
+        for a, b, c in self.rows:
+            av = sum(co * w[wi] for wi, co in a.items()) % R_FR
+            bv = sum(co * w[wi] for wi, co in b.items()) % R_FR
+            cv = sum(co * w[wi] for wi, co in c.items()) % R_FR
+            if av * bv % R_FR != cv:
+                return False
+        return True
+
+    def to_arrays(self):
+        """Flatten to (ptr, wire, coeff-limb) arrays per matrix + witness
+        limbs — the native bn254 generic intake format."""
+        import numpy as np
+
+        def pack(idx):
+            ptr = np.zeros(len(self.rows) + 1, dtype=np.int64)
+            wires: List[int] = []
+            coeffs: List[int] = []
+            for i, row in enumerate(self.rows):
+                for wi, co in sorted(row[idx].items()):
+                    wires.append(wi)
+                    coeffs.extend(
+                        (co >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+                        for k in range(4)
+                    )
+                ptr[i + 1] = len(wires)
+            return (
+                ptr,
+                np.asarray(wires, dtype=np.int32),
+                np.asarray(coeffs, dtype=np.uint64).reshape(-1, 4),
+            )
+
+        wl = []
+        for v in self.witness:
+            wl.extend((v >> (64 * k)) & 0xFFFFFFFFFFFFFFFF for k in range(4))
+        import numpy as np
+
+        return (
+            pack(0), pack(1), pack(2),
+            np.asarray(wl, dtype=np.uint64).reshape(-1, 4),
+        )
+
+
+def build_pi_binding_circuit(pi_values: Sequence[int]) -> Tuple[R1CS, List[int]]:
+    """The wrap statement: public = the Goldilocks revelation PIs followed
+    by their Poseidon2 hash (4 limbs); the circuit recomputes the hash
+    in-SNARK and pins it.  Returns (r1cs, expected hash limbs)."""
+    from mp2_tpu.hash import poseidon2_host as p2h
+
+    r = R1CS()
+    vals = [int(v) % P_GL for v in pi_values]
+    want = p2h.hash_no_pad(vals)
+    ins = [r.public_input(v) for v in vals]
+    outs = [r.public_input(int(h)) for h in want]
+    for l in ins:
+        r.gl_input_check(l)
+    got = r.poseidon2_hash_no_pad(ins)
+    for g, o in zip(got, outs):
+        r.enforce_zero(g + o.scale(-1))
+    return r, [int(h) for h in want]

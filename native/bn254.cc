@@ -400,6 +400,293 @@ static G2 g2_mul(const G2 &p, const U256 &k) {
   return r;
 }
 
+
+// ---------------------------------------------------------------------------
+// fast group arithmetic: Jacobian coordinates, fixed-base windows, Pippenger
+// (the affine ops above pay one field inversion per add — fine for the
+// pairing's Miller loop, catastrophic for 100k-wire CRS/MSM work)
+// ---------------------------------------------------------------------------
+
+static G1 G1_GEN;
+static G2 G2_GEN;
+
+struct JG1 {
+  U256 X, Y, Z;  // Z == 0 => infinity
+};
+static JG1 jg1_inf() { return JG1{FQ.one_m, FQ.one_m, u256_zero()}; }
+static bool jg1_is_inf(const JG1 &p) { return p.Z == u256_zero(); }
+static JG1 jg1_from(const G1 &p) {
+  if (p.inf) return jg1_inf();
+  return JG1{p.x, p.y, FQ.one_m};
+}
+static G1 jg1_to(const JG1 &p) {
+  if (jg1_is_inf(p)) return g1_zero();
+  U256 zi = f_inv(p.Z, FQ);
+  U256 zi2 = mont_mul(zi, zi, FQ);
+  return G1{mont_mul(p.X, zi2, FQ),
+            mont_mul(p.Y, mont_mul(zi2, zi, FQ), FQ), false};
+}
+static JG1 jg1_dbl(const JG1 &p) {
+  if (jg1_is_inf(p)) return p;
+  U256 A = mont_mul(p.X, p.X, FQ);
+  U256 B = mont_mul(p.Y, p.Y, FQ);
+  U256 C = mont_mul(B, B, FQ);
+  U256 t = f_add(p.X, B, FQ);
+  U256 D = f_sub(f_sub(mont_mul(t, t, FQ), A, FQ), C, FQ);
+  D = f_add(D, D, FQ);
+  U256 E = f_add(f_add(A, A, FQ), A, FQ);
+  U256 F = mont_mul(E, E, FQ);
+  U256 X3 = f_sub(F, f_add(D, D, FQ), FQ);
+  U256 C8 = f_add(C, C, FQ); C8 = f_add(C8, C8, FQ); C8 = f_add(C8, C8, FQ);
+  U256 Y3 = f_sub(mont_mul(E, f_sub(D, X3, FQ), FQ), C8, FQ);
+  U256 Z3 = mont_mul(f_add(p.Y, p.Y, FQ), p.Z, FQ);
+  return JG1{X3, Y3, Z3};
+}
+static JG1 jg1_add_mixed(const JG1 &p, const G1 &q) {
+  if (q.inf) return p;
+  if (jg1_is_inf(p)) return jg1_from(q);
+  U256 Z1Z1 = mont_mul(p.Z, p.Z, FQ);
+  U256 U2 = mont_mul(q.x, Z1Z1, FQ);
+  U256 S2 = mont_mul(mont_mul(q.y, p.Z, FQ), Z1Z1, FQ);
+  U256 H = f_sub(U2, p.X, FQ);
+  U256 rr = f_sub(S2, p.Y, FQ);
+  if (H == u256_zero()) {
+    if (rr == u256_zero()) return jg1_dbl(p);
+    return jg1_inf();
+  }
+  rr = f_add(rr, rr, FQ);
+  U256 HH = mont_mul(H, H, FQ);
+  U256 I = f_add(HH, HH, FQ); I = f_add(I, I, FQ);
+  U256 J = mont_mul(H, I, FQ);
+  U256 V = mont_mul(p.X, I, FQ);
+  U256 X3 = f_sub(f_sub(mont_mul(rr, rr, FQ), J, FQ), f_add(V, V, FQ), FQ);
+  U256 YJ = mont_mul(p.Y, J, FQ);
+  U256 Y3 = f_sub(mont_mul(rr, f_sub(V, X3, FQ), FQ), f_add(YJ, YJ, FQ), FQ);
+  U256 t = f_add(p.Z, H, FQ);
+  U256 Z3 = f_sub(f_sub(mont_mul(t, t, FQ), Z1Z1, FQ), HH, FQ);
+  return JG1{X3, Y3, Z3};
+}
+static JG1 jg1_add(const JG1 &p, const JG1 &q) {
+  if (jg1_is_inf(p)) return q;
+  if (jg1_is_inf(q)) return p;
+  U256 Z1Z1 = mont_mul(p.Z, p.Z, FQ);
+  U256 Z2Z2 = mont_mul(q.Z, q.Z, FQ);
+  U256 U1 = mont_mul(p.X, Z2Z2, FQ);
+  U256 U2 = mont_mul(q.X, Z1Z1, FQ);
+  U256 S1 = mont_mul(mont_mul(p.Y, q.Z, FQ), Z2Z2, FQ);
+  U256 S2 = mont_mul(mont_mul(q.Y, p.Z, FQ), Z1Z1, FQ);
+  U256 H = f_sub(U2, U1, FQ);
+  U256 rr = f_sub(S2, S1, FQ);
+  if (H == u256_zero()) {
+    if (rr == u256_zero()) return jg1_dbl(p);
+    return jg1_inf();
+  }
+  U256 H2 = f_add(H, H, FQ);
+  U256 I = mont_mul(H2, H2, FQ);
+  U256 J = mont_mul(H, I, FQ);
+  rr = f_add(rr, rr, FQ);
+  U256 V = mont_mul(U1, I, FQ);
+  U256 X3 = f_sub(f_sub(mont_mul(rr, rr, FQ), J, FQ), f_add(V, V, FQ), FQ);
+  U256 SJ = mont_mul(S1, J, FQ);
+  U256 Y3 = f_sub(mont_mul(rr, f_sub(V, X3, FQ), FQ), f_add(SJ, SJ, FQ), FQ);
+  U256 t = f_add(p.Z, q.Z, FQ);
+  U256 Z3 = mont_mul(f_sub(f_sub(mont_mul(t, t, FQ), Z1Z1, FQ), Z2Z2, FQ), H,
+                     FQ);
+  return JG1{X3, Y3, Z3};
+}
+
+// --- G2 Jacobian (same formulas over Fq2)
+struct JG2 {
+  Fq2 X, Y, Z;
+};
+static JG2 jg2_inf() { return JG2{fq2_one(), fq2_one(), fq2_zero()}; }
+static bool jg2_is_inf(const JG2 &p) { return fq2_is_zero(p.Z); }
+static JG2 jg2_from(const G2 &p) {
+  if (p.inf) return jg2_inf();
+  return JG2{p.x, p.y, fq2_one()};
+}
+static G2 jg2_to(const JG2 &p) {
+  if (jg2_is_inf(p)) return g2_zero();
+  Fq2 zi = fq2_inv(p.Z);
+  Fq2 zi2 = fq2_mul(zi, zi);
+  return G2{fq2_mul(p.X, zi2), fq2_mul(p.Y, fq2_mul(zi2, zi)), false};
+}
+static JG2 jg2_dbl(const JG2 &p) {
+  if (jg2_is_inf(p)) return p;
+  Fq2 A = fq2_mul(p.X, p.X);
+  Fq2 B = fq2_mul(p.Y, p.Y);
+  Fq2 C = fq2_mul(B, B);
+  Fq2 t = fq2_add(p.X, B);
+  Fq2 D = fq2_sub(fq2_sub(fq2_mul(t, t), A), C);
+  D = fq2_add(D, D);
+  Fq2 E = fq2_add(fq2_add(A, A), A);
+  Fq2 F = fq2_mul(E, E);
+  Fq2 X3 = fq2_sub(F, fq2_add(D, D));
+  Fq2 C8 = fq2_add(C, C); C8 = fq2_add(C8, C8); C8 = fq2_add(C8, C8);
+  Fq2 Y3 = fq2_sub(fq2_mul(E, fq2_sub(D, X3)), C8);
+  Fq2 Z3 = fq2_mul(fq2_add(p.Y, p.Y), p.Z);
+  return JG2{X3, Y3, Z3};
+}
+static JG2 jg2_add_mixed(const JG2 &p, const G2 &q) {
+  if (q.inf) return p;
+  if (jg2_is_inf(p)) return jg2_from(q);
+  Fq2 Z1Z1 = fq2_mul(p.Z, p.Z);
+  Fq2 U2 = fq2_mul(q.x, Z1Z1);
+  Fq2 S2 = fq2_mul(fq2_mul(q.y, p.Z), Z1Z1);
+  Fq2 H = fq2_sub(U2, p.X);
+  Fq2 rr = fq2_sub(S2, p.Y);
+  if (fq2_is_zero(H)) {
+    if (fq2_is_zero(rr)) return jg2_dbl(p);
+    return jg2_inf();
+  }
+  rr = fq2_add(rr, rr);
+  Fq2 HH = fq2_mul(H, H);
+  Fq2 I = fq2_add(HH, HH); I = fq2_add(I, I);
+  Fq2 J = fq2_mul(H, I);
+  Fq2 V = fq2_mul(p.X, I);
+  Fq2 X3 = fq2_sub(fq2_sub(fq2_mul(rr, rr), J), fq2_add(V, V));
+  Fq2 YJ = fq2_mul(p.Y, J);
+  Fq2 Y3 = fq2_sub(fq2_mul(rr, fq2_sub(V, X3)), fq2_add(YJ, YJ));
+  Fq2 t = fq2_add(p.Z, H);
+  Fq2 Z3 = fq2_sub(fq2_sub(fq2_mul(t, t), Z1Z1), HH);
+  return JG2{X3, Y3, Z3};
+}
+static JG2 jg2_add(const JG2 &p, const JG2 &q) {
+  if (jg2_is_inf(p)) return q;
+  if (jg2_is_inf(q)) return p;
+  Fq2 Z1Z1 = fq2_mul(p.Z, p.Z);
+  Fq2 Z2Z2 = fq2_mul(q.Z, q.Z);
+  Fq2 U1 = fq2_mul(p.X, Z2Z2);
+  Fq2 U2 = fq2_mul(q.X, Z1Z1);
+  Fq2 S1 = fq2_mul(fq2_mul(p.Y, q.Z), Z2Z2);
+  Fq2 S2 = fq2_mul(fq2_mul(q.Y, p.Z), Z1Z1);
+  Fq2 H = fq2_sub(U2, U1);
+  Fq2 rr = fq2_sub(S2, S1);
+  if (fq2_is_zero(H)) {
+    if (fq2_is_zero(rr)) return jg2_dbl(p);
+    return jg2_inf();
+  }
+  Fq2 H2 = fq2_add(H, H);
+  Fq2 I = fq2_mul(H2, H2);
+  Fq2 J = fq2_mul(H, I);
+  rr = fq2_add(rr, rr);
+  Fq2 V = fq2_mul(U1, I);
+  Fq2 X3 = fq2_sub(fq2_sub(fq2_mul(rr, rr), J), fq2_add(V, V));
+  Fq2 SJ = fq2_mul(S1, J);
+  Fq2 Y3 = fq2_sub(fq2_mul(rr, fq2_sub(V, X3)), fq2_add(SJ, SJ));
+  Fq2 t = fq2_add(p.Z, q.Z);
+  Fq2 Z3 = fq2_mul(fq2_sub(fq2_sub(fq2_mul(t, t), Z1Z1), Z2Z2), H);
+  return JG2{X3, Y3, Z3};
+}
+
+// --- fixed-base 4-bit windowed tables for the generators (CRS generation)
+static std::vector<G1> FB1_TAB;  // 64 windows x 15 entries
+static std::vector<G2> FB2_TAB;
+static void fb_build() {
+  if (!FB1_TAB.empty()) return;
+  FB1_TAB.resize(64 * 15);
+  FB2_TAB.resize(64 * 15);
+  G1 c1 = G1_GEN;
+  G2 c2 = G2_GEN;
+  for (int w = 0; w < 64; w++) {
+    G1 a1 = c1;
+    G2 a2 = c2;
+    for (int k = 1; k <= 15; k++) {
+      FB1_TAB[w * 15 + (k - 1)] = a1;
+      FB2_TAB[w * 15 + (k - 1)] = a2;
+      if (k < 15) {
+        a1 = g1_add(a1, c1);
+        a2 = g2_add(a2, c2);
+      }
+    }
+    c1 = g1_add(a1, c1);  // 16 * c1
+    c2 = g2_add(a2, c2);
+  }
+}
+static G1 g1_mul_gen(const U256 &k) {  // k canonical
+  JG1 acc = jg1_inf();
+  for (int w = 0; w < 64; w++) {
+    int nib = (int)((k.l[w / 16] >> ((w % 16) * 4)) & 0xF);
+    if (nib) acc = jg1_add_mixed(acc, FB1_TAB[w * 15 + (nib - 1)]);
+  }
+  return jg1_to(acc);
+}
+static G2 g2_mul_gen(const U256 &k) {
+  JG2 acc = jg2_inf();
+  for (int w = 0; w < 64; w++) {
+    int nib = (int)((k.l[w / 16] >> ((w % 16) * 4)) & 0xF);
+    if (nib) acc = jg2_add_mixed(acc, FB2_TAB[w * 15 + (nib - 1)]);
+  }
+  return jg2_to(acc);
+}
+
+// --- Pippenger multi-scalar multiplication (scalars canonical)
+static G1 g1_msm(const std::vector<G1> &pts, const std::vector<U256> &scal) {
+  size_t n = pts.size();
+  if (n == 0) return g1_zero();
+  int c = 3;
+  while ((1u << (c + 3)) < n && c < 16) c++;
+  int nwin = (256 + c - 1) / c;
+  JG1 total = jg1_inf();
+  std::vector<JG1> buckets((size_t)1 << c);
+  for (int w = nwin - 1; w >= 0; w--) {
+    if (!jg1_is_inf(total))
+      for (int i = 0; i < c; i++) total = jg1_dbl(total);
+    for (auto &b : buckets) b = jg1_inf();
+    int lo = w * c;
+    for (size_t i = 0; i < n; i++) {
+      if (pts[i].inf) continue;
+      // extract c bits starting at lo
+      u64 idx = 0;
+      for (int b = 0; b < c; b++) {
+        int bit = lo + b;
+        if (bit < 256 && ((scal[i].l[bit / 64] >> (bit % 64)) & 1))
+          idx |= (u64)1 << b;
+      }
+      if (idx) buckets[idx] = jg1_add_mixed(buckets[idx], pts[i]);
+    }
+    JG1 running = jg1_inf(), acc = jg1_inf();
+    for (size_t b = buckets.size() - 1; b >= 1; b--) {
+      running = jg1_add(running, buckets[b]);
+      acc = jg1_add(acc, running);
+    }
+    total = jg1_add(total, acc);
+  }
+  return jg1_to(total);
+}
+static G2 g2_msm(const std::vector<G2> &pts, const std::vector<U256> &scal) {
+  size_t n = pts.size();
+  if (n == 0) return g2_zero();
+  int c = 3;
+  while ((1u << (c + 3)) < n && c < 16) c++;
+  int nwin = (256 + c - 1) / c;
+  JG2 total = jg2_inf();
+  std::vector<JG2> buckets((size_t)1 << c);
+  for (int w = nwin - 1; w >= 0; w--) {
+    if (!jg2_is_inf(total))
+      for (int i = 0; i < c; i++) total = jg2_dbl(total);
+    for (auto &b : buckets) b = jg2_inf();
+    int lo = w * c;
+    for (size_t i = 0; i < n; i++) {
+      if (pts[i].inf) continue;
+      u64 idx = 0;
+      for (int b = 0; b < c; b++) {
+        int bit = lo + b;
+        if (bit < 256 && ((scal[i].l[bit / 64] >> (bit % 64)) & 1))
+          idx |= (u64)1 << b;
+      }
+      if (idx) buckets[idx] = jg2_add_mixed(buckets[idx], pts[i]);
+    }
+    JG2 running = jg2_inf(), acc = jg2_inf();
+    for (size_t b = buckets.size() - 1; b >= 1; b--) {
+      running = jg2_add(running, buckets[b]);
+      acc = jg2_add(acc, running);
+    }
+    total = jg2_add(total, acc);
+  }
+  return jg2_to(total);
+}
+
 // twist embedding G2' -> E(Fq12): (x, y) -> (x w^2, y w^3)
 static E12 psi(const G2 &q) {
   if (q.inf) return E12{fq12_zero(), fq12_zero(), true};
@@ -683,9 +970,6 @@ struct VerifyingKey {
   std::vector<G1> ic;  // [(beta A_i + alpha B_i + C_i)/gamma]1, wires 0..pub
 };
 
-static G1 G1_GEN;
-static G2 G2_GEN;
-
 // deterministic toy entropy (dev-grade CRS)
 static U256 fr_rand(u64 *seed) {
   U256 a;
@@ -752,12 +1036,13 @@ static void setup(const R1CS &r, u64 seed, ProvingKey &pk, VerifyingKey &vk) {
   }
 
   U256 ginv = f_inv(gamma, FR), dinv = f_inv(delta, FR);
-  pk.alpha1 = g1_mul(G1_GEN, from_mont(alpha, FR));
-  pk.beta1 = g1_mul(G1_GEN, from_mont(beta, FR));
-  pk.delta1 = g1_mul(G1_GEN, from_mont(delta, FR));
-  pk.beta2 = g2_mul(G2_GEN, from_mont(beta, FR));
-  pk.gamma2 = g2_mul(G2_GEN, from_mont(gamma, FR));
-  pk.delta2 = g2_mul(G2_GEN, from_mont(delta, FR));
+  fb_build();
+  pk.alpha1 = g1_mul_gen(from_mont(alpha, FR));
+  pk.beta1 = g1_mul_gen(from_mont(beta, FR));
+  pk.delta1 = g1_mul_gen(from_mont(delta, FR));
+  pk.beta2 = g2_mul_gen(from_mont(beta, FR));
+  pk.gamma2 = g2_mul_gen(from_mont(gamma, FR));
+  pk.delta2 = g2_mul_gen(from_mont(delta, FR));
   pk.num_public = r.num_public;
   pk.num_wires = nw;
   pk.domain = m;
@@ -767,22 +1052,22 @@ static void setup(const R1CS &r, u64 seed, ProvingKey &pk, VerifyingKey &vk) {
   vk.delta2 = pk.delta2;
 
   for (int i = 0; i < nw; i++) {
-    pk.a_query.push_back(g1_mul(G1_GEN, from_mont(At[i], FR)));
-    pk.b1_query.push_back(g1_mul(G1_GEN, from_mont(Bt[i], FR)));
-    pk.b2_query.push_back(g2_mul(G2_GEN, from_mont(Bt[i], FR)));
+    pk.a_query.push_back(g1_mul_gen(from_mont(At[i], FR)));
+    pk.b1_query.push_back(g1_mul_gen(from_mont(Bt[i], FR)));
+    pk.b2_query.push_back(g2_mul_gen(from_mont(Bt[i], FR)));
     U256 k = f_add(f_add(mont_mul(beta, At[i], FR), mont_mul(alpha, Bt[i], FR), FR),
                    Ct[i], FR);
     if (i <= r.num_public) {
-      vk.ic.push_back(g1_mul(G1_GEN, from_mont(mont_mul(k, ginv, FR), FR)));
+      vk.ic.push_back(g1_mul_gen(from_mont(mont_mul(k, ginv, FR), FR)));
     } else {
-      pk.l_query.push_back(g1_mul(G1_GEN, from_mont(mont_mul(k, dinv, FR), FR)));
+      pk.l_query.push_back(g1_mul_gen(from_mont(mont_mul(k, dinv, FR), FR)));
     }
   }
   // h_query: [tau^i t(tau)/delta]1 for i < m-1
   U256 pow = FR.one_m;
   for (int i = 0; i < m; i++) {
     U256 k = mont_mul(mont_mul(pow, zt, FR), dinv, FR);
-    pk.h_query.push_back(g1_mul(G1_GEN, from_mont(k, FR)));
+    pk.h_query.push_back(g1_mul_gen(from_mont(k, FR)));
     pow = mont_mul(pow, tau, FR);
   }
 }
@@ -845,26 +1130,23 @@ static Groth16Proof prove(const R1CS &r, const ProvingKey &pk,
     gi = mont_mul(gi, ginv_c, FR);
   }
 
+  // canonical witness scalars once
+  std::vector<U256> wc(pk.num_wires);
+  for (int i = 0; i < pk.num_wires; i++) wc[i] = from_mont(w[i], FR);
   // A = alpha + sum w_i A_i(tau) + r delta
-  G1 A = pk.alpha1;
-  for (int i = 0; i < pk.num_wires; i++)
-    A = g1_add(A, g1_mul(pk.a_query[i], from_mont(w[i], FR)));
+  G1 A = g1_add(pk.alpha1, g1_msm(pk.a_query, wc));
   A = g1_add(A, g1_mul(pk.delta1, from_mont(rr, FR)));
   // B2 = beta + sum w_i B_i(tau) + s delta ; B1 likewise in G1
-  G2 B = pk.beta2;
-  for (int i = 0; i < pk.num_wires; i++)
-    B = g2_add(B, g2_mul(pk.b2_query[i], from_mont(w[i], FR)));
+  G2 B = g2_add(pk.beta2, g2_msm(pk.b2_query, wc));
   B = g2_add(B, g2_mul(pk.delta2, from_mont(ss, FR)));
-  G1 B1 = pk.beta1;
-  for (int i = 0; i < pk.num_wires; i++)
-    B1 = g1_add(B1, g1_mul(pk.b1_query[i], from_mont(w[i], FR)));
+  G1 B1 = g1_add(pk.beta1, g1_msm(pk.b1_query, wc));
   B1 = g1_add(B1, g1_mul(pk.delta1, from_mont(ss, FR)));
   // C = sum_aux w_i L_i + sum h_i H_i + s A + r B1 - r s delta
-  G1 C = g1_zero();
-  for (int i = pk.num_public + 1; i < pk.num_wires; i++)
-    C = g1_add(C, g1_mul(pk.l_query[i - pk.num_public - 1], from_mont(w[i], FR)));
-  for (int i = 0; i < m; i++)
-    C = g1_add(C, g1_mul(pk.h_query[i], from_mont(hv[i], FR)));
+  std::vector<U256> waux(wc.begin() + pk.num_public + 1, wc.end());
+  G1 C = g1_msm(pk.l_query, waux);
+  std::vector<U256> hc(m);
+  for (int i = 0; i < m; i++) hc[i] = from_mont(hv[i], FR);
+  C = g1_add(C, g1_msm(pk.h_query, hc));
   C = g1_add(C, g1_mul(A, from_mont(ss, FR)));
   C = g1_add(C, g1_mul(B1, from_mont(rr, FR)));
   C = g1_add(C, g1_neg(g1_mul(pk.delta1, from_mont(mont_mul(rr, ss, FR), FR))));
@@ -970,6 +1252,59 @@ int bn254_wrap_roundtrip(const u64 *pubs, int n, u64 *out_commit,
   if (tamper) {
     pub[0] = f_add(pub[0], FR.one_m, FR);
     return verify(vk, pf, pub) ? -2 : 1;  // 1 = correctly rejected
+  }
+  return verify(vk, pf, pub) ? 0 : -1;
+}
+
+// Generic R1CS Groth16 roundtrip: matrices in CSR form (ptr/wire/coeff),
+// coefficients and witness as 4 canonical u64 limbs each.
+// Returns 0 = prove+verify ok, 1 = tamper correctly rejected,
+// negative = failure.
+int bn254_groth16_r1cs(
+    long long n_constraints, long long n_wires, long long n_public,
+    const long long *aptr, const int *awire, const u64 *acoef,
+    const long long *bptr, const int *bwire, const u64 *bcoef,
+    const long long *cptr, const int *cwire, const u64 *ccoef,
+    const u64 *witness, u64 seed, int tamper) {
+  bn254_init();
+  R1CS r;
+  r.num_wires = (int)n_wires;
+  r.num_public = (int)n_public;
+  auto load = [&](const long long *ptr, const int *wire, const u64 *coef,
+                  std::vector<Row> &out) {
+    out.resize(n_constraints);
+    for (long long i = 0; i < n_constraints; i++) {
+      for (long long j = ptr[i]; j < ptr[i + 1]; j++) {
+        U256 c{{coef[4 * j], coef[4 * j + 1], coef[4 * j + 2],
+                coef[4 * j + 3]}};
+        out[i].push_back({wire[j], to_mont(c, FR)});
+      }
+    }
+  };
+  load(aptr, awire, acoef, r.A);
+  load(bptr, bwire, bcoef, r.B);
+  load(cptr, cwire, ccoef, r.C);
+  std::vector<U256> w(n_wires);
+  for (long long i = 0; i < n_wires; i++) {
+    U256 v{{witness[4 * i], witness[4 * i + 1], witness[4 * i + 2],
+            witness[4 * i + 3]}};
+    w[i] = to_mont(v, FR);
+  }
+  // witness sanity: every row satisfied
+  for (long long i = 0; i < n_constraints; i++) {
+    U256 av = eval_row(r.A[i], w);
+    U256 bv = eval_row(r.B[i], w);
+    U256 cv = eval_row(r.C[i], w);
+    if (!(mont_mul(av, bv, FR) == cv)) return -10;
+  }
+  ProvingKey pk;
+  VerifyingKey vk;
+  setup(r, seed, pk, vk);
+  Groth16Proof pf = prove(r, pk, w, seed + 1);
+  std::vector<U256> pub(w.begin() + 1, w.begin() + 1 + r.num_public);
+  if (tamper) {
+    pub[0] = f_add(pub[0], FR.one_m, FR);
+    return verify(vk, pf, pub) ? -2 : 1;
   }
   return verify(vk, pf, pub) ? 0 : -1;
 }

@@ -36,3 +36,47 @@ def test_tampered_public_inputs_rejected(lib_ok):
 def test_final_proof_bundle_uses_backend(lib_ok):
     b = groth16.FinalProofBundle.from_revelation([7, 8, 9])
     assert b.groth16_calldata is not None
+
+
+def test_r1cs_gadgets_satisfy():
+    """Goldilocks emulation + Poseidon2 in R1CS match the host hash."""
+    from mp2_tpu.groth16.r1cs import R1CS, build_pi_binding_circuit
+    from mp2_tpu.hash import poseidon2_host as p2h
+
+    vals = [3, 1 << 63, 987654321, 7, 0, 1, 2, 9]
+    r, want = build_pi_binding_circuit(vals)
+    assert want == list(p2h.hash_no_pad(vals))
+    assert r.check()
+    assert r.num_public == len(vals) + 4
+
+    # mul gadget: x*y mod P for values that overflow 64 bits
+    r = R1CS()
+    P = (1 << 64) - (1 << 32) + 1
+    a, b = P - 1, P - 2
+    x = r.public_input(a)
+    y = r.public_input(b)
+    z = r.gl_mul(x, y)
+    assert z.value == a * b % P
+    assert r.check()
+
+
+slow = pytest.mark.skipif(
+    not __import__("os").environ.get("MP2_SLOW"),
+    reason="set MP2_SLOW=1 for prove-heavy tests",
+)
+
+
+@slow
+def test_poseidon_wrap_roundtrip(lib_ok):
+    """Full Groth16 over the in-SNARK Poseidon2 PI commitment (~94k
+    constraints): prove+verify, then the tampered-public negative path."""
+    from mp2_tpu import groth16
+    from mp2_tpu.hash import poseidon2_host as p2h
+
+    pis = [11, 22, 33, 44, 55]
+    bundle = groth16.wrap_revelation_poseidon(pis)
+    want = b"".join(
+        int(h).to_bytes(8, "little") for h in p2h.hash_no_pad(pis)
+    )
+    assert bundle.commitment == want
+    groth16.wrap_revelation_poseidon(pis, tamper=True)  # raises if accepted
