@@ -433,6 +433,108 @@ def build_revelation(b, p, W, bind, chunk_uv, ivc_uv):
     return assign
 
 
+def build_non_existence(b, p, W, index_tree_depth):
+    """Non-existence chunk member (query/circuits/non_existence.rs): proves
+    the primary-index query range is EMPTY over the committed index tree.
+    Witnesses ONE index-tree node whose value lies outside [min_p, max_p]
+    with a neighbors-aware Merkle path to the index root, and enforces its
+    predecessor/successor straddle the range — so no node of the committed
+    tree has a value inside the bounds.  Exposes a chunk-layout PI set:
+    count 0, identity outputs (0 / U256_MAX for MIN), the index root, and
+    boundary rows carrying the bracketing node's info with dummy rows-tree
+    info (is_found=0, so the revelation's extreme checks pass vacuously)."""
+    comp = b.add_inputs(4)
+    ph = b.add_inputs(4)
+    agg_ids = b.add_inputs(p.num_outputs)
+    bounds_t = [add_virtual_u256(b) for _ in range(4)]
+    min_p, max_p, _min_s, _max_s = bounds_t
+
+    ident = b.add_input()
+    from mp2_tpu.circuit.gadgets.u256 import u256_constant
+    from mp2_tpu.vdb.query.merkle_path import NodeInfoTargets
+
+    value = add_virtual_u256(b, range_check=False)
+    subtree = b.add_inputs(4)
+    path = add_merkle_path_with_neighbors(
+        b, ident, value, subtree, index_tree_depth
+    )
+    below = u256_less_than(b, value, min_p)
+    above = u256_less_than(b, max_p, value)
+    b.connect(b.logic_or(below, above), b.one())
+    _enforce_no_inrange_pred(b, path.node.predecessor, min_p)
+    _enforce_no_inrange_succ(b, path.node.successor, max_p)
+
+    zero_u = _u256_const(b, 0)
+    outs = []
+    for j in range(p.num_outputs):
+        oh = _agg_onehot(b, agg_ids[j])
+        outs.append(_row_contribution(b, b.zero(), zero_u, oh))
+    count = b.zero()
+
+    e = [b.constant(v) for v in D.EMPTY_HASH]
+    dummy_row = NodeInfoTargets(
+        end_hash=list(e),
+        predecessor=NeighborInfoTargets(
+            is_found=b.zero(), is_in_path=b.zero(),
+            value=u256_constant(b, 0), hash=list(e),
+        ),
+        successor=NeighborInfoTargets(
+            is_found=b.zero(), is_in_path=b.zero(),
+            value=u256_constant(b, U256_MAX), hash=list(e),
+        ),
+    )
+    boundary = BoundaryRowTargets(row=dummy_row, index=path.node)
+
+    pis = (
+        list(comp) + list(ph) + list(agg_ids)
+        + [l for o in outs for l in o.limbs] + [count]
+        + list(path.root)
+    )
+    for t in bounds_t:
+        pis += list(t.limbs)
+    pis += boundary.to_targets()
+    pis += boundary.to_targets()
+    pis += [b.zero()] * (W - len(pis))
+    b.register_public_inputs(pis)
+
+    def assign(inputs, comp_vals, ph_vals, agg_vals, qb4, node_ident,
+               index_w):
+        for t, v in zip(comp, comp_vals):
+            inputs[t] = int(v)
+        for t, v in zip(ph, ph_vals):
+            inputs[t] = int(v)
+        for t, v in zip(agg_ids, agg_vals):
+            inputs[t] = int(v)
+        for t, v in zip(bounds_t, qb4):
+            set_u256(inputs, t, v)
+        inputs[ident] = int(node_ident)
+        set_u256(inputs, value, index_w["end_value"])
+        for t, v in zip(subtree, index_w["end_inner"]):
+            inputs[t] = int(v)
+        set_merkle_path_with_neighbors(inputs, path, index_w)
+
+    return assign
+
+
+def non_existence_boundary_fields(index_w: dict) -> List[int]:
+    """Host PI fields of the non-existence boundary row (dummy rows-tree
+    info + the bracketing index node's info)."""
+    from mp2_tpu.vdb.query.merkle_path import neighbor_info_fields
+
+    dummy_row = (
+        list(D.EMPTY_HASH)
+        + neighbor_info_fields(
+            dict(is_found=False, is_in_path=False, value=0,
+                 hash=list(D.EMPTY_HASH))
+        )
+        + neighbor_info_fields(
+            dict(is_found=False, is_in_path=False, value=U256_MAX,
+                 hash=list(D.EMPTY_HASH))
+        )
+    )
+    return dummy_row + node_info_fields(index_w)
+
+
 def build_tree_bound_row(
     b: CircuitBuilder,
     params: UniversalQueryParams,
@@ -558,6 +660,11 @@ class QueryCircuits:
             return build_chunk_merge(b, p, W, bind, children)
 
         self.chunk.add_aggregation_circuit("chunk_merge", 2, merge_build)
+        if bind:
+            self.chunk.add_leaf_circuit(
+                "non_existence",
+                lambda b: build_non_existence(b, p, W, index_tree_depth),
+            )
         self.chunk.finalize()
 
         # --- revelation
@@ -611,6 +718,7 @@ class QueryCircuits:
     def prove_query(
         self, pis, column_ids, rows, placeholders, bounds, ivc_env=None,
         bindings: Optional[List[RowBinding]] = None,
+        non_existence_witness=None,
     ) -> Tuple[WrappedEnvelope, List[int]]:
         """Prove every row, chunk them pairwise, merge, reveal.  Returns the
         revelation envelope + its user PIs.
@@ -618,7 +726,19 @@ class QueryCircuits:
         Tree-bound mode: `rows` must be ALL rows of the committed trees
         within the query bounds, in index order (block, then secondary
         value), with `bindings[i]` the Merkle-path witnesses of `rows[i]`.
-        The predicate bit gates each row's contribution."""
+        The predicate bit gates each row's contribution.  When NO row falls
+        inside the primary bounds, pass `non_existence_witness=(node_ident,
+        index_w)` — the bracketing index-tree node from the planner's
+        find_node_for_non_existence, witnessed via
+        host_neighbor_path_from_tree — to prove the range empty instead."""
+        if self.bind and not rows:
+            assert non_existence_witness is not None, (
+                "empty range needs a non-existence witness"
+            )
+            return self._prove_empty_query(
+                pis, column_ids, placeholders, bounds, ivc_env,
+                non_existence_witness,
+            )
         if self.bind:
             assert bindings is not None and len(bindings) == len(rows)
         else:
@@ -778,6 +898,66 @@ class QueryCircuits:
             reveal_args = (pis.placeholder_names, placeholders, bounds)
         env = self.revelation.prove_aggregation(
             "revelation", [], reveal_args, reveal_piv,
+            foreign_children=foreign_children,
+        )
+        return env, reveal_piv
+
+    def _prove_empty_query(
+        self, pis, column_ids, placeholders, bounds, ivc_env,
+        non_existence_witness,
+    ) -> Tuple[WrappedEnvelope, List[int]]:
+        """Empty primary range: one non_existence chunk + revelation."""
+        from mp2_tpu.vdb.query.universal import UniversalQueryCircuit
+
+        node_ident, index_w = non_existence_witness
+        p = self.params
+        W = self.W
+        no = p.num_outputs
+        uc = UniversalQueryCircuit(params=p, data=None, assign=None)
+        dummy = uc.expected_public_inputs(
+            pis, column_ids, [0] * p.num_columns, placeholders, bounds
+        )
+        comp_vals, ph_vals = dummy[0:4], dummy[4:8]
+        agg_vals = dummy[14 : 14 + no]
+        qb4 = self._query_bounds4(bounds)
+        qb4_fields = [f for v in qb4 for f in u256_to_fields(v)]
+
+        outs = []
+        for j in range(no):
+            outs.append(
+                U256_MAX
+                if agg_vals[j] == int(AggregationOperation.MIN) else 0
+            )
+        piv = (
+            list(comp_vals) + list(ph_vals) + list(agg_vals)
+            + [f for o in outs for f in u256_to_fields(o)] + [0]
+            + [int(v) for v in index_w["root"]] + qb4_fields
+            + non_existence_boundary_fields(index_w)
+            + non_existence_boundary_fields(index_w)
+        )
+        piv += [0] * (W - len(piv))
+        chunk_env = self.chunk.prove_leaf(
+            "non_existence",
+            (comp_vals, ph_vals, agg_vals, qb4, node_ident, index_w),
+            piv,
+        )
+
+        block_root = list(ivc_env.user_inputs[0:4]) if ivc_env else [0] * 4
+        results = []
+        for j in range(no):
+            v = outs[j]
+            if agg_vals[j] == int(AggregationOperation.AVG):
+                v = 0
+            results.append(v)
+        reveal_piv = (
+            list(comp_vals) + list(ph_vals) + block_root
+            + [f for o in results for f in u256_to_fields(o)] + [0]
+        )
+        reveal_piv += [0] * (W - len(reveal_piv))
+        foreign_children = [chunk_env] + ([ivc_env] if ivc_env else [])
+        env = self.revelation.prove_aggregation(
+            "revelation", [],
+            (pis.placeholder_names, placeholders, bounds), reveal_piv,
             foreign_children=foreign_children,
         )
         return env, reveal_piv

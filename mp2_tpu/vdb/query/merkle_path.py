@@ -491,9 +491,13 @@ def host_neighbor_path_from_tree(db, key) -> dict:
         if not succ["is_found"] and lv["is_left"]:
             succ.update(is_found=True, value=lv["value"], hash=hashes[i])
 
+    end_value, end_ident, end_inner = _payload_fields(pl)
     return dict(
         end_mn=pl.min_value,
         end_mx=pl.max_value,
+        end_value=end_value,
+        end_ident=end_ident,
+        end_inner=end_inner,
         left=lw,
         right=rw,
         levels=levels,

@@ -371,3 +371,76 @@ def test_tree_bound_query_stack_end_to_end():
     assert got_sum == 149
     got_count = reveal_pis[12 + 16]
     assert got_count == 4
+
+    # --- empty primary range through the SAME circuits: a non-existence
+    # chunk replaces the row proofs (query/circuits/non_existence.rs)
+    from mp2_tpu.vdb.query.merkle_path import host_neighbor_path_from_tree
+    from mp2_tpu.vdb.query.planner import find_node_for_non_existence
+
+    ph_e = Placeholders({"$MIN_BLOCK": 105, "$MAX_BLOCK": 110})
+    bounds_e = QueryBounds(105, 110)
+    ne = find_node_for_non_existence(block_db, 105, 110)
+    index_w = host_neighbor_path_from_tree(block_db, ne.node_key)
+    env_e, reveal_e = qc.prove_query(
+        pis, COLUMN_IDS, [], ph_e, bounds_e,
+        non_existence_witness=(BLOCK_ID, index_w),
+    )
+    assert qc.verify(env_e)
+    assert reveal_e[12 + 16] == 0  # COUNT == 0
+    got_sum = 0
+    for l in reveal_e[12:20]:
+        got_sum = (got_sum << 32) | l
+    assert got_sum == 0  # SUM identity
+
+
+def test_non_existence_body():
+    """Non-existence chunk: an out-of-range bracketing index node with
+    straddling neighbors proves the primary range empty (count 0)."""
+    from mp2_tpu.utils.u256 import U256_MAX, u256_to_fields
+    from mp2_tpu.vdb.query.chunks import (
+        _pi_width,
+        build_non_existence,
+        non_existence_boundary_fields,
+    )
+    from mp2_tpu.vdb.query.merkle_path import host_neighbor_path_from_tree
+    from mp2_tpu.vdb.query.ops import AggregationOperation
+    from mp2_tpu.vdb.query.planner import find_node_for_non_existence
+
+    _, block_db, _ = make_db({100: {7: 1}, 101: {7: 2}, 102: {7: 3}})
+    # query [105, 110] is empty; bracketing node = 102 (largest below)
+    ne = find_node_for_non_existence(block_db, 105, 110)
+    assert ne is not None and ne.node_key == 102
+    index_w = host_neighbor_path_from_tree(block_db, ne.node_key)
+
+    W = _pi_width(PARAMS, True)
+    b = CircuitBuilder(test_config())
+    assign = build_non_existence(b, PARAMS, W, index_tree_depth=4)
+    data = b.build()
+
+    comp, ph = [1, 2, 3, 4], [5, 6, 7, 8]
+    aggs = [int(AggregationOperation.SUM), int(AggregationOperation.MIN)]
+    qb4 = (105, 110, 0, U256_MAX)
+    inputs = {}
+    assign(inputs, comp, ph, aggs, qb4, BLOCK_ID, index_w)
+    piv = (
+        comp + ph + aggs
+        + u256_to_fields(0) + u256_to_fields(U256_MAX) + [0]
+        + [int(v) for v in index_w["root"]]
+        + [f for v in qb4 for f in u256_to_fields(v)]
+        + non_existence_boundary_fields(index_w)
+        + non_existence_boundary_fields(index_w)
+    )
+    piv += [0] * (W - len(piv))
+    w = data.generate_witness(inputs)
+    data.check_witness(w, piv)
+
+    # a NON-empty range must be rejected: node 102 inside [102, 110]
+    qb4_bad = (102, 110, 0, U256_MAX)
+    inputs = {}
+    assign(inputs, comp, ph, aggs, qb4_bad, BLOCK_ID, index_w)
+    bad = list(piv)
+    off = 8 + 2 + 16 + 1 + 4
+    bad[off : off + 32] = [f for v in qb4_bad for f in u256_to_fields(v)]
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        data.check_witness(w, bad)
