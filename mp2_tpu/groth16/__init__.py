@@ -171,9 +171,12 @@ def verify_tamper_rejected(public_inputs: List[int], seed: int = 42) -> bool:
     return lib.bn254_wrap_roundtrip(arr, len(pis), commit, seed, 1) == 1
 
 
-def compile_and_generate_assets(circuit_digest, asset_dir: str):
-    """Solidity verifier generation: next round (NEXT.md)."""
-    raise Groth16Unavailable()
+def compile_and_generate_assets(public_inputs, asset_dir: str, seed: int = 42):
+    """Generate verifier.sol + vk.json + proof.json for the Poseidon2
+    PI-binding statement (groth16-framework utils.rs asset layout)."""
+    from mp2_tpu.groth16.solidity import compile_and_generate_assets as gen
+
+    return gen(public_inputs, asset_dir, seed)
 
 
 class Groth16Prover:

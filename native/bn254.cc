@@ -1309,4 +1309,67 @@ int bn254_groth16_r1cs(
   return verify(vk, pf, pub) ? 0 : -1;
 }
 
+// Variant of bn254_groth16_r1cs exporting the verifying key and proof in
+// canonical (non-Montgomery) affine coordinates for Solidity verifier
+// generation:
+//   out_vk layout : alpha1(x,y) | beta2(x0,x1,y0,y1) | gamma2(4) |
+//                   delta2(4) | ic[(n_public+1) * (x,y)]     (4 limbs each)
+//   out_proof     : A(x,y) | B(x0,x1,y0,y1) | C(x,y)
+int bn254_groth16_r1cs_export(
+    long long n_constraints, long long n_wires, long long n_public,
+    const long long *aptr, const int *awire, const u64 *acoef,
+    const long long *bptr, const int *bwire, const u64 *bcoef,
+    const long long *cptr, const int *cwire, const u64 *ccoef,
+    const u64 *witness, u64 seed, u64 *out_vk, u64 *out_proof) {
+  bn254_init();
+  R1CS r;
+  r.num_wires = (int)n_wires;
+  r.num_public = (int)n_public;
+  auto load = [&](const long long *ptr, const int *wire, const u64 *coef,
+                  std::vector<Row> &out) {
+    out.resize(n_constraints);
+    for (long long i = 0; i < n_constraints; i++) {
+      for (long long j = ptr[i]; j < ptr[i + 1]; j++) {
+        U256 c{{coef[4 * j], coef[4 * j + 1], coef[4 * j + 2],
+                coef[4 * j + 3]}};
+        out[i].push_back({wire[j], to_mont(c, FR)});
+      }
+    }
+  };
+  load(aptr, awire, acoef, r.A);
+  load(bptr, bwire, bcoef, r.B);
+  load(cptr, cwire, ccoef, r.C);
+  std::vector<U256> w(n_wires);
+  for (long long i = 0; i < n_wires; i++) {
+    U256 v{{witness[4 * i], witness[4 * i + 1], witness[4 * i + 2],
+            witness[4 * i + 3]}};
+    w[i] = to_mont(v, FR);
+  }
+  ProvingKey pk;
+  VerifyingKey vk;
+  setup(r, seed, pk, vk);
+  Groth16Proof pf = prove(r, pk, w, seed + 1);
+  std::vector<U256> pub(w.begin() + 1, w.begin() + 1 + r.num_public);
+  if (!verify(vk, pf, pub)) return -1;
+  u64 *o = out_vk;
+  auto put_fq = [&](const U256 &m) {
+    U256 c = from_mont(m, FQ);
+    for (int i = 0; i < 4; i++) *o++ = c.l[i];
+  };
+  auto put_g1 = [&](const G1 &p) { put_fq(p.x); put_fq(p.y); };
+  auto put_g2 = [&](const G2 &p) {
+    put_fq(p.x.c0); put_fq(p.x.c1); put_fq(p.y.c0); put_fq(p.y.c1);
+  };
+  put_g1(vk.alpha1);
+  put_g2(vk.beta2);
+  put_g2(vk.gamma2);
+  put_g2(vk.delta2);
+  for (auto &p : vk.ic) put_g1(p);
+  o = out_proof;
+  put_g1(pf.a);
+  put_g2(pf.b);
+  put_g1(pf.c);
+  return 0;
+}
+
 }  // extern "C"

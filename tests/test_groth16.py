@@ -80,3 +80,42 @@ def test_poseidon_wrap_roundtrip(lib_ok):
     )
     assert bundle.commitment == want
     groth16.wrap_revelation_poseidon(pis, tamper=True)  # raises if accepted
+
+
+def test_solidity_template_renders():
+    """Verifier contract generation from a vk structure (no proving)."""
+    from mp2_tpu.groth16.solidity import generate_verifier_solidity
+
+    vk = dict(
+        alpha1=[1, 2], beta2=[3, 4, 5, 6], gamma2=[7, 8, 9, 10],
+        delta2=[11, 12, 13, 14], ic=[[15, 16], [17, 18], [19, 20]],
+    )
+    sol = generate_verifier_solidity(vk)
+    assert "contract Mp2Verifier" in sol
+    assert "uint256[2] memory input" in sol
+    assert "staticcall(sub(gas(), 2000), 8" in sol
+    # EVM G2 encoding swaps c1 before c0
+    assert "[4, 3]" in sol and "[6, 5]" in sol
+
+
+@slow
+def test_solidity_asset_generation(lib_ok):
+    """Full asset generation: exported vk/proof verify natively; the
+    emitted contract embeds the IC points for the PI layout."""
+    import json as _json
+    import tempfile
+
+    from mp2_tpu import groth16
+    from mp2_tpu.hash import poseidon2_host as p2h
+
+    pis = [5, 6, 7]
+    with tempfile.TemporaryDirectory() as d:
+        paths = groth16.compile_and_generate_assets(pis, d)
+        sol = open(paths["verifier.sol"]).read()
+        vk = _json.load(open(paths["vk.json"]))
+        proof = _json.load(open(paths["proof.json"]))
+    assert f"uint256[{len(pis) + 4}] memory input" in sol
+    assert len(vk["ic"]) == len(pis) + 4 + 1
+    assert proof["public"][: len(pis)] == pis
+    assert proof["public"][len(pis):] == list(p2h.hash_no_pad(pis))
+    assert proof["pi_hash"] == list(p2h.hash_no_pad(pis))
