@@ -54,6 +54,7 @@ from mp2_tpu.circuit.gadgets.curve import (
 )
 from mp2_tpu.extraction.columns import ColumnInfo, metadata_digest
 from mp2_tpu.extraction.values import (
+    compute_leaf_mapping_metadata_digest,
     compute_row_id,
     row_unique_data_for_single_leaf,
 )
@@ -299,6 +300,98 @@ def build_leaf_single_circuit(
                       assign=assign)
 
 
+def build_leaf_mapping_body(
+    b: CircuitBuilder,
+    table_info: Sequence[ColumnInfo],
+    value_id: int,
+    slot: int,
+    key_id: int,
+    max_len: int = MAX_LEAF_LEN,
+):
+    """values_extraction mapping leaf (leaf_mapping.rs, evm_word=0): the
+    mapping key is witnessed, the storage location keccak(pad32(key) ||
+    pad32(slot)) and the trie key nibbles(keccak(location)) are recomputed
+    IN-CIRCUIT, so the leaf is fully bound to its claimed mapping entry —
+    no free key inputs.  DV = row_id(key) * (D(value_id || value) +
+    D(key_id || key)); DM adds the key-column digest
+    (compute_leaf_mapping_metadata_digest)."""
+    from mp2_tpu.circuit.gadgets.keccak import keccak256_fixed
+
+    node = add_byte_inputs(b, max_len)
+    nlen = b.add_input()
+    h_bits = keccak256_variable(b, node, nlen, max_len)
+    h_u32 = _bits_to_u32s_be_bytes(b, h_bits)
+
+    ps = _decode_list_start(b, node)
+    path_off, path_len, _ = _decode_item(b, node, ps)
+    val_off, val_len, _ = _decode_item(b, node, b.add(path_off, path_len))
+    v_off, v_len, _ = _decode_item(b, node, val_off)
+    b.connect(b.add(val_off, val_len), nlen)
+    b.connect(b.add(v_off, v_len), nlen)
+    b.connect(small_lt(b, v_len, b.constant(33)), b.one())
+    raw = extract_subarray(b, node, v_off, 32)
+    masked = [
+        b.mul(raw[j], small_lt(b, b.constant(j), v_len)) for j in range(32)
+    ]
+    value32 = left_pad32(b, masked, v_len)
+    packed_value = pack_u32_be(b, value32)
+
+    # witnessed mapping key (already left-padded to 32 bytes)
+    key32 = add_byte_inputs(b, 32)
+    packed_key = pack_u32_be(b, key32)
+
+    # location = keccak(pad32(key) || pad32(slot)); trie key =
+    # nibbles(keccak(location)) — storage_key.rs:409-480 in-circuit
+    slot_bytes = [b.constant(v) for v in (slot).to_bytes(32, "big")]
+    loc_bits = keccak256_fixed(b, list(key32) + slot_bytes)
+    loc_bytes = []
+    for i in range(32):
+        byte = b.zero()
+        for k in range(8):
+            byte = b.mul_add(loc_bits[8 * i + k], b.constant(1 << k), byte)
+        loc_bytes.append(byte)
+    trie_bits = keccak256_fixed(b, loc_bytes)
+    key = []
+    for i in range(32):
+        hi = b.zero()
+        lo = b.zero()
+        for k in range(4):
+            lo = b.mul_add(trie_bits[8 * i + k], b.constant(1 << k), lo)
+            hi = b.mul_add(trie_bits[8 * i + 4 + k], b.constant(1 << k), hi)
+        key.extend((hi, lo))
+
+    # the compact path must be the derived key's tail
+    tail, t = _compact_key_tail(b, node, path_off, path_len, flag_base=2)
+    s = b.sub(b.constant(MAX_KEY_NIBBLES), t)
+    _enforce_key_segment(b, key, s, b.constant(MAX_KEY_NIBBLES), tail)
+
+    # digests
+    vd = map_to_curve_point_circuit(b, [b.constant(value_id)] + packed_value)
+    key_d = map_to_curve_point_circuit(b, [b.constant(key_id)] + packed_key)
+    vd = curve_add(b, vd, key_d)
+    rud = b.hash_no_pad(packed_key)
+    num_actual = len(table_info) + 1
+    rid_h = b.hash_no_pad(list(rud) + [b.constant(num_actual)])
+    dv = curve_scalar_mul_hash128(b, rid_h[0], rid_h[1], vd)
+    dm = curve_constant(
+        b, compute_leaf_mapping_metadata_digest(table_info, slot, key_id)
+    )
+    _register_mpt_pis(b, h_u32, dv, dm, b.one(), key, s)
+
+    def assign(inputs: Dict, node_bytes: bytes, mapping_key32: bytes):
+        assert len(node_bytes) <= max_len
+        assert len(mapping_key32) == 32
+        for t_, v in zip(node, node_bytes):
+            inputs[t_] = v
+        for t_ in node[len(node_bytes):]:
+            inputs[t_] = 0
+        inputs[nlen] = len(node_bytes)
+        for t_, v in zip(key32, mapping_key32):
+            inputs[t_] = v
+
+    return assign
+
+
 def build_branch_circuit(
     n_children: int,
     child_pis_fn,
@@ -521,15 +614,18 @@ class ValuesExtractionCircuits:
         config: Optional[CircuitConfig] = None,
         max_branch_len: int = 272,
         max_leaf_len: int = MAX_LEAF_LEN,
+        mapping: Optional[tuple] = None,
     ):
+        """`mapping=(slot, key_id)` builds the set for a mapping table: the
+        leaf member becomes `leaf_mapping` (storage location + trie key
+        recomputed in-circuit from the witnessed mapping key)."""
         from mp2_tpu.recursion.runtime import RecursionFramework
 
         cfg = config or test_config()
         self._table_info = list(table_info)
         self._value_id = value_id
+        self._mapping = mapping
         self.fw = RecursionFramework(cfg, NUM_MPT_PIS, set_height=2)
-
-        leaf_holder = {}
 
         def leaf_build(b):
             mc_inputs = {}
@@ -580,7 +676,17 @@ class ValuesExtractionCircuits:
 
             return assign
 
-        self.fw.add_leaf_circuit("leaf_single", leaf_build)
+        if mapping is None:
+            self.fw.add_leaf_circuit("leaf_single", leaf_build)
+        else:
+            m_slot, m_key_id = mapping
+            self.fw.add_leaf_circuit(
+                "leaf_mapping",
+                lambda b: build_leaf_mapping_body(
+                    b, self._table_info, value_id, m_slot, m_key_id,
+                    max_leaf_len,
+                ),
+            )
 
         def ext_build(b, children):
             return build_extension_circuit_body(
@@ -620,6 +726,36 @@ class ValuesExtractionCircuits:
             self.fw.prove_leaf("leaf_single", (node_bytes, key_nibbles), pis),
             pis,
         )
+
+    def prove_leaf_mapping(self, node_bytes: bytes, mapping_key: bytes):
+        """Prove a mapping-table leaf; the trie key is derived host-side
+        for the PI claim and re-derived in-circuit from the witnessed key."""
+        from mp2_tpu.extraction import storage_key as SKmod
+        from mp2_tpu.extraction import values as Vmod
+        from mp2_tpu.utils.keccak import keccak256
+        from mp2_tpu.utils.u256 import left_pad32 as lp32
+        from mp2_tpu.utils import rlp as rlp_mod
+
+        m_slot, m_key_id = self._mapping
+        items = rlp_mod.decode(node_bytes)
+        value = lp32(rlp_mod.decode(items[1]))
+        dv = Vmod.compute_leaf_mapping_values_digest(
+            self._table_info, [self._value_id], value, mapping_key, 0,
+            m_key_id,
+        )
+        dm = compute_leaf_mapping_metadata_digest(
+            self._table_info, m_slot, m_key_id
+        )
+        loc = SKmod.mapping_location(m_slot, mapping_key)
+        key_nibbles = host_key_nibbles(loc)
+        pis = mpt_pi_values(
+            keccak256(node_bytes), dv, dm, 1, key_nibbles,
+            host_leaf_s(node_bytes),
+        )
+        env = self.fw.prove_leaf(
+            "leaf_mapping", (node_bytes, lp32(mapping_key)), pis
+        )
+        return env, pis
 
     def prove_branch(self, node_bytes: bytes, children, child_pis, slots):
         from mp2_tpu.field.ecgfp5 import Point

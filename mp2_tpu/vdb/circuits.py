@@ -384,7 +384,7 @@ def _block_common(b, rows: _RowsPis):
     )
     idx_h = b.hash_no_pad([index_id] + list(number.limbs))
     node_digest = curve_scalar_mul_hash128(b, idx_h[0], idx_h[1], rows_digest)
-    return index_id, number, is_merge, node_digest
+    return index_id, number, is_merge, node_digest, rows_digest
 
 
 def _assign_block(inputs, targets, index_id, block_number, is_merge):
@@ -417,7 +417,34 @@ def block_pi_values(payload):
 
 def _build_block_leaf(b, children, foreign):
     rows = _RowsPis.parse(b, foreign[0].public_inputs())
-    index_id, number, is_merge, digest = _block_common(b, rows)
+    index_id, number, is_merge, digest, _ = _block_common(b, rows)
+    e = [b.constant(v) for v in EMPTY]
+    h = _row_node_hash_circuit(b, e, e, number, number, index_id, number, rows.h)
+    _block_register(b, h, digest, number, number)
+
+    def assign(inputs, index_id_v, block_number, is_merge_v=False):
+        _assign_block(inputs, (index_id, number, is_merge), index_id_v,
+                      block_number, is_merge_v)
+
+    return assign
+
+
+def _build_block_leaf_bound(b, children, foreign):
+    """Block leaf that ALSO verifies a final-extraction proof and enforces
+    in-circuit that the extracted value digest equals the rows-tree digest
+    and the extracted block number is this leaf's index value
+    (block_tree/leaf.rs:37-60 — the extraction<->DB binding)."""
+    from mp2_tpu.extraction.final_circuits import F_BN, F_DV
+
+    rows = _RowsPis.parse(b, foreign[0].public_inputs())
+    ext = foreign[1].public_inputs()
+    index_id, number, is_merge, digest, rows_digest = _block_common(b, rows)
+    for a, c in zip(list(ext[F_DV]), curve_to_pi_targets(b, rows_digest)):
+        b.connect(a, c)
+    # extracted block number == leaf index value (low limb; high limbs 0)
+    b.connect(number.limbs[-1], ext[F_BN])
+    for l in number.limbs[:-1]:
+        b.connect(l, b.zero())
     e = [b.constant(v) for v in EMPTY]
     h = _row_node_hash_circuit(b, e, e, number, number, index_id, number, rows.h)
     _block_register(b, h, digest, number, number)
@@ -433,7 +460,7 @@ def _build_block_parent(b, children, foreign):
     """One or two block children + the node's own rows proof; missing
     children are flagged and replaced by the empty hash / neutral digest."""
     rows = _RowsPis.parse(b, foreign[0].public_inputs())
-    index_id, number, is_merge, digest = _block_common(b, rows)
+    index_id, number, is_merge, digest, _ = _block_common(b, rows)
     l = _BlockPis.parse(b, children[0].public_inputs())
     r = _BlockPis.parse(b, children[1].public_inputs())
     has_r = _bool_input(b)  # sbbst parents always have a left child
@@ -503,8 +530,13 @@ class VerifiableDbCircuits:
     """Builds the cells -> rows -> block -> IVC circuit sets with chained
     fixed VKs (verifiable-db/src/api.rs:93-115 role)."""
 
-    def __init__(self, config: CircuitConfig):
+    def __init__(self, config: CircuitConfig, extraction=None):
+        """`extraction`: an optional FinalExtractionCircuits instance; when
+        given, the block set gains a `block_leaf_bound` member that verifies
+        a final-extraction proof and pins extraction DV == rows digest +
+        block number in-circuit."""
         self.config = config
+        self.extraction = extraction
         self.cells = RecursionFramework(config, NUM_USER_PIS, set_height=2)
         self.cells.add_leaf_circuit("cells_leaf", _build_cells_leaf)
         self.cells.add_aggregation_circuit("cells_full", 2, _build_cells_full)
@@ -529,6 +561,11 @@ class VerifiableDbCircuits:
         self.block.add_aggregation_circuit(
             "block_leaf", 0, _build_block_leaf, foreign=[self.rows]
         )
+        if extraction is not None:
+            self.block.add_aggregation_circuit(
+                "block_leaf_bound", 0, _build_block_leaf_bound,
+                foreign=[self.rows, extraction.fw],
+            )
         self.block.add_aggregation_circuit(
             "block_parent", 2, _build_block_parent, foreign=[self.rows]
         )

@@ -293,3 +293,45 @@ def test_account_leaf_circuit_matches_host():
     )
     with pytest.raises(AssertionError):
         mc.data.check_witness(w, bad)
+
+
+def test_leaf_mapping_circuit_matches_host():
+    """Mapping leaf: storage location + trie key recomputed in-circuit from
+    the witnessed mapping key; DV/DM match the host mapping conventions."""
+    from mp2_tpu.extraction.mpt_circuits import build_leaf_mapping_body
+
+    slot = 2
+    key_id = V.identifier_for_mapping_key_column(slot, ADDR, CHAIN_ID)
+    value_id = V.identifier_for_value_column(slot, 0, 256, 0, ADDR, CHAIN_ID)
+    table = [simple_column(slot, value_id)]
+    mkey = b"\x07"
+    loc = SK.mapping_location(slot, mkey)
+    val = 10**18 + 9
+    trie = MPT(secure=True)
+    trie.insert(loc, rlp.encode_int(val))
+    leaf_body = trie.get_proof(loc)[-1]
+
+    b = CircuitBuilder(test_config())
+    assign = build_leaf_mapping_body(b, table, value_id, slot, key_id)
+    data = b.build()
+    inputs = {}
+    assign(inputs, leaf_body, left_pad32(mkey))
+    value = left_pad32(rlp.decode(rlp.decode(leaf_body)[1]))
+    dv = V.compute_leaf_mapping_values_digest(
+        table, [value_id], value, mkey, 0, key_id
+    )
+    dm = V.compute_leaf_mapping_metadata_digest(table, slot, key_id)
+    pis = mpt_pi_values(
+        keccak256(leaf_body), dv, dm, 1, host_key_nibbles(loc),
+        host_leaf_s(leaf_body),
+    )
+    w = data.generate_witness(inputs)
+    data.check_witness(w, pis)
+
+    # a DIFFERENT witnessed mapping key derives a different trie key and
+    # cannot match the leaf's compact path
+    inputs = {}
+    assign(inputs, leaf_body, left_pad32(b"\x08"))
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        data.check_witness(w, pis)
