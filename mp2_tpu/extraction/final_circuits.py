@@ -107,6 +107,7 @@ F_BN = 16
 F_DV = slice(17, 28)
 F_DM = slice(28, 39)
 F_N = 39
+F_MERGE = 40  # 1 for final_merge proofs, 0 (pad) otherwise
 
 
 def _bits_to_u32s_be_bytes(b, bits):
@@ -666,6 +667,7 @@ class LengthExtractionCircuits:
 # ---------------------------------------------------------------------------
 # final extraction
 # ---------------------------------------------------------------------------
+# (merge prove method lives on FinalExtractionCircuits below)
 
 
 def final_base_body(
@@ -707,6 +709,94 @@ def final_base_body(
     )
 
 
+def build_merge_body(
+    b: CircuitBuilder, block_pis, contract_pis, table_a_pis, table_b_pis
+):
+    """final_extraction merge (merge_circuit.rs:43-85): TWO singleton
+    values-extraction proofs over the same contract/block, combined with
+    the split-digest scheme — the witnessed flag picks which table is the
+    multiplier, and DV = HashToInt(H(fields(dv_mult))) * dv_ind
+    (digest.rs combine_to_digest).  Exposes merge flag = 1."""
+    from mp2_tpu.circuit.gadgets.curve import (
+        curve_scalar_mul_hash128,
+        curve_select,
+        curve_zero,
+    )
+
+    for vp in (table_a_pis, table_b_pis):
+        b.connect(vp[_V_S], b.zero())
+        for a, c in zip(vp[_V_H], contract_pis[_C_SR]):
+            b.connect(a, c)
+    for a, c in zip(contract_pis[_C_H], block_pis[_B_SR]):
+        b.connect(a, c)
+    dm = curve_add(
+        b,
+        curve_add(
+            b,
+            curve_from_pi_targets(b, list(table_a_pis[_V_DM])),
+            curve_from_pi_targets(b, list(table_b_pis[_V_DM])),
+        ),
+        curve_from_pi_targets(b, list(contract_pis[_C_DM])),
+    )
+    is_a_mult = b.add_input()
+    b.connect(b.mul(is_a_mult, b.sub(is_a_mult, b.one())), b.zero())
+    dv_a = curve_from_pi_targets(b, list(table_a_pis[_V_DV]))
+    dv_b = curve_from_pi_targets(b, list(table_b_pis[_V_DV]))
+    zero = curve_zero(b)
+    ind = curve_add(
+        b,
+        curve_select(b, is_a_mult, zero, dv_a),
+        curve_select(b, is_a_mult, dv_b, zero),
+    )
+    mult = curve_add(
+        b,
+        curve_select(b, is_a_mult, dv_a, zero),
+        curve_select(b, is_a_mult, zero, dv_b),
+    )
+    mh = b.hash_no_pad(curve_to_pi_targets(b, mult))
+    dv = curve_scalar_mul_hash128(b, mh[0], mh[1], ind)
+    n = b.add(table_a_pis[_V_N], table_b_pis[_V_N])
+    b.register_public_inputs(
+        list(block_pis[_B_BH])
+        + list(block_pis[_B_PH])
+        + [block_pis[_B_BN]]
+        + curve_to_pi_targets(b, dv)
+        + curve_to_pi_targets(b, dm)
+        + [n, b.one()]
+    )
+
+    def assign(inputs, is_table_a_multiplier: bool):
+        inputs[is_a_mult] = 1 if is_table_a_multiplier else 0
+
+    return assign
+
+
+def final_merge_pi_values(
+    block_pis, table_a_pis, table_b_pis, contract_dm,
+    is_table_a_multiplier: bool,
+) -> List[int]:
+    from mp2_tpu.field.ecgfp5 import Point
+
+    dv_a = Point.from_fields(table_a_pis[_V_DV])
+    dv_b = Point.from_fields(table_b_pis[_V_DV])
+    ind, mult = (dv_b, dv_a) if is_table_a_multiplier else (dv_a, dv_b)
+    h = p2h.hash_no_pad(mult.to_fields())
+    dv = ind.scalar_mul(p2h.hash_to_int(h))
+    dm = (
+        Point.from_fields(table_a_pis[_V_DM])
+        + Point.from_fields(table_b_pis[_V_DM])
+        + contract_dm
+    )
+    return (
+        [int(x) for x in block_pis[_B_BH]]
+        + [int(x) for x in block_pis[_B_PH]]
+        + [int(block_pis[_B_BN])]
+        + dv.to_fields()
+        + dm.to_fields()
+        + [int(table_a_pis[_V_N]) + int(table_b_pis[_V_N]), 1]
+    )
+
+
 def final_pi_values(
     block_pis, values_pis, contract_dm, length_dm=None
 ) -> List[int]:
@@ -737,12 +827,17 @@ class FinalExtractionCircuits:
         values,
         config: Optional[CircuitConfig] = None,
         length: Optional[LengthExtractionCircuits] = None,
+        merge: bool = False,
     ):
         """`length`: also builds a `final_lengthed` member verifying a
         length-extraction proof and enforcing N == length
-        (lengthed_circuit.rs)."""
+        (lengthed_circuit.rs).  `merge`: also builds a `final_merge`
+        member combining TWO values-set proofs (merge_circuit.rs)."""
         cfg = config or test_config()
-        self.fw = RecursionFramework(cfg, EXT_W, set_height=1)
+        n_members = 1 + (1 if length is not None else 0) + (1 if merge else 0)
+        self.fw = RecursionFramework(
+            cfg, EXT_W, set_height=1 if n_members <= 2 else 2
+        )
 
         def build(b, children, foreign):
             final_base_body(
@@ -771,6 +866,20 @@ class FinalExtractionCircuits:
             self.fw.add_aggregation_circuit(
                 "final_lengthed", 0, _pad_build(build_lengthed),
                 foreign=[block_fw.fw, contract.fw, values.fw, length.fw],
+            )
+        if merge:
+            def build_merge(b, children, foreign):
+                return build_merge_body(
+                    b,
+                    foreign[0].public_inputs(),
+                    foreign[1].public_inputs(),
+                    foreign[2].public_inputs(),
+                    foreign[3].public_inputs(),
+                )
+
+            self.fw.add_aggregation_circuit(
+                "final_merge", 0, _pad_build(build_merge),
+                foreign=[block_fw.fw, contract.fw, values.fw, values.fw],
             )
         self.fw.finalize()
 
@@ -814,6 +923,30 @@ class FinalExtractionCircuits:
         env = self.fw.prove_aggregation(
             "final_lengthed", [], (), pis,
             foreign_children=[block_env, contract_env, values_env, length_env],
+        )
+        return env, pis
+
+    def prove_merge(
+        self,
+        block_env: WrappedEnvelope,
+        contract_env: WrappedEnvelope,
+        table_a_env: WrappedEnvelope,
+        table_b_env: WrappedEnvelope,
+        is_table_a_multiplier: bool = False,
+    ):
+        from mp2_tpu.field.ecgfp5 import Point
+
+        pis = _pad_vals(final_merge_pi_values(
+            block_env.user_inputs, table_a_env.user_inputs,
+            table_b_env.user_inputs,
+            Point.from_fields(contract_env.user_inputs[_C_DM]),
+            is_table_a_multiplier,
+        ))
+        env = self.fw.prove_aggregation(
+            "final_merge", [], (is_table_a_multiplier,), pis,
+            foreign_children=[
+                block_env, contract_env, table_a_env, table_b_env,
+            ],
         )
         return env, pis
 

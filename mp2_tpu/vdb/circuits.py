@@ -434,11 +434,13 @@ def _build_block_leaf_bound(b, children, foreign):
     in-circuit that the extracted value digest equals the rows-tree digest
     and the extracted block number is this leaf's index value
     (block_tree/leaf.rs:37-60 — the extraction<->DB binding)."""
-    from mp2_tpu.extraction.final_circuits import F_BN, F_DV
+    from mp2_tpu.extraction.final_circuits import F_BN, F_DV, F_MERGE
 
     rows = _RowsPis.parse(b, foreign[0].public_inputs())
     ext = foreign[1].public_inputs()
     index_id, number, is_merge, digest, rows_digest = _block_common(b, rows)
+    # the merge flag is the EXTRACTION proof's, not a free witness
+    b.connect(is_merge, ext[F_MERGE])
     for a, c in zip(list(ext[F_DV]), curve_to_pi_targets(b, rows_digest)):
         b.connect(a, c)
     # extracted block number == leaf index value (low limb; high limbs 0)

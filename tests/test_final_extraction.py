@@ -562,3 +562,52 @@ def test_final_base_body_lengthed(world):
     with pytest.raises((ValueError, AssertionError)):
         w = data.generate_witness(inputs)
         data.check_witness(w, want)
+
+
+def test_final_merge_body(world):
+    """Merge variant: two values proofs combined with the split-digest
+    scheme, DV = HashToInt(H(fields(dv_mult))) * dv_ind."""
+    from mp2_tpu.extraction.final_circuits import (
+        build_merge_body,
+        final_merge_pi_values,
+    )
+
+    block_pis, contract_pis, values_a, dm_c = _stub_final_pis(world)
+    values_b = list(values_a)
+    dv_b = p2h.map_to_curve_point([777])
+    values_b[8:19] = dv_b.to_fields()
+    values_b[30] = 5  # N
+
+    b = CircuitBuilder(test_config())
+    sb = b.add_inputs(NUM_BLOCK_PIS)
+    sc = b.add_inputs(NUM_CONTRACT_PIS)
+    sa = b.add_inputs(NUM_MPT_PIS)
+    sv = b.add_inputs(NUM_MPT_PIS)
+    assign = build_merge_body(b, sb, sc, sa, sv)
+    data = b.build()
+
+    def fill(inputs):
+        for t, v in zip(sb, block_pis):
+            inputs[t] = int(v)
+        for t, v in zip(sc, contract_pis):
+            inputs[t] = int(v)
+        for t, v in zip(sa, values_a):
+            inputs[t] = int(v)
+        for t, v in zip(sv, values_b):
+            inputs[t] = int(v)
+
+    for a_mult in (False, True):
+        inputs = {}
+        fill(inputs)
+        assign(inputs, a_mult)
+        want = final_merge_pi_values(
+            block_pis, values_a, values_b, dm_c, a_mult
+        )
+        assert want[-1] == 1  # merge flag exposed
+        w = data.generate_witness(inputs)
+        data.check_witness(w, want)
+
+    # the two flag settings produce DIFFERENT digests (split matters)
+    dv0 = final_merge_pi_values(block_pis, values_a, values_b, dm_c, False)
+    dv1 = final_merge_pi_values(block_pis, values_a, values_b, dm_c, True)
+    assert dv0[17:28] != dv1[17:28]
