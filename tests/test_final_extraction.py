@@ -611,3 +611,77 @@ def test_final_merge_body(world):
     dv0 = final_merge_pi_values(block_pis, values_a, values_b, dm_c, False)
     dv1 = final_merge_pi_values(block_pis, values_a, values_b, dm_c, True)
     assert dv0[17:28] != dv1[17:28]
+
+
+@slow
+def test_final_lengthed_recursive_chain(world):
+    """final_lengthed: the length-slot proof chain verified alongside
+    block+contract+values, N pinned to the length value in-circuit."""
+    from mp2_tpu.extraction.circuits import fixture_header_offsets
+    from mp2_tpu.extraction.final_circuits import (
+        BlockExtractionFramework,
+        ContractExtractionCircuits,
+        FinalExtractionCircuits,
+        LengthExtractionCircuits,
+    )
+    from mp2_tpu.extraction.mpt_circuits import (
+        ValuesExtractionCircuits,
+        host_key_nibbles as knibs,
+    )
+
+    table, value_id = world["table"], world["value_id"]
+    length_slot = 8
+
+    # fresh storage trie: 2 value leaves under the root + the length slot
+    # holding the row count (= 2)
+    storage = MPT(secure=True)
+    locs = [SK.simple_slot_location(SLOT, evm_word=w) for w in range(4)]
+    for i, loc in enumerate(locs):
+        storage.insert(loc, rlp.encode_int(10**18 + i))
+    storage.insert(SK.simple_slot_location(length_slot), rlp.encode_int(2))
+    proofs = {loc: storage.get_proof(loc) for loc in locs}
+    root_node = storage.get_proof(locs[0])[0]
+    picked = [
+        loc for loc in locs
+        if len(proofs[loc]) == 2 and proofs[loc][0] == root_node
+    ][:2]
+    assert len(picked) == 2, "fixture must share the root branch"
+
+    vx = ValuesExtractionCircuits(table, value_id)
+    envs, pis = [], []
+    for loc in picked:
+        env, piv = vx.prove_leaf(proofs[loc][-1], knibs(loc))
+        envs.append(env)
+        pis.append(piv)
+    branch_items = rlp.decode(root_node)
+    slots = [
+        next(
+            i for i, it in enumerate(branch_items)
+            if it == keccak256(proofs[loc][-1])
+        )
+        for loc in picked
+    ]
+    values_env, values_pis = vx.prove_branch(root_node, envs, pis, slots)
+    assert values_pis[95] == 0 and values_pis[30] == 2
+
+    lx = LengthExtractionCircuits(length_slot, SLOT)
+    length_env, length_pis = lx.prove_length_path(
+        storage.get_proof(SK.simple_slot_location(length_slot))
+    )
+    assert lx.verify(length_env)
+
+    state = MPT(secure=True)
+    state.insert(ADDR, _account(storage.root_hash()))
+    state.insert(OTHER, _account(keccak256(b"other")))
+    header = _block_header(state.root_hash(), 900, keccak256(b"p"))
+
+    cx = ContractExtractionCircuits(ADDR)
+    contract_env, _ = cx.prove_state_path(state.get_proof(ADDR))
+    bx = BlockExtractionFramework(**fixture_header_offsets(header))
+    block_env, _ = bx.prove_header(header)
+    fx = FinalExtractionCircuits(bx, cx, vx, length=lx)
+    env, final_pis = fx.prove_lengthed(
+        block_env, contract_env, values_env, length_env
+    )
+    assert fx.verify(env)
+    assert final_pis[F_N] == 2 and final_pis[F_BN] == 900
