@@ -458,11 +458,7 @@ def _build_block_leaf_bound(b, children, foreign):
     return assign
 
 
-def _build_block_parent(b, children, foreign):
-    """One or two block children + the node's own rows proof; missing
-    children are flagged and replaced by the empty hash / neutral digest."""
-    rows = _RowsPis.parse(b, foreign[0].public_inputs())
-    index_id, number, is_merge, digest, _ = _block_common(b, rows)
+def _block_parent_body(b, children, rows, index_id, number, is_merge, digest):
     l = _BlockPis.parse(b, children[0].public_inputs())
     r = _BlockPis.parse(b, children[1].public_inputs())
     has_r = _bool_input(b)  # sbbst parents always have a left child
@@ -476,6 +472,44 @@ def _build_block_parent(b, children, foreign):
     d = curve_add(b, d, curve_select(b, has_r, r.digest, curve_zero(b)))
     h = _row_node_hash_circuit(b, l.h, rh, mn, mx, index_id, number, rows.h)
     _block_register(b, h, d, mn, mx)
+    return has_r
+
+
+def _build_block_parent(b, children, foreign):
+    """One or two block children + the node's own rows proof; missing
+    children are flagged and replaced by the empty hash / neutral digest."""
+    rows = _RowsPis.parse(b, foreign[0].public_inputs())
+    index_id, number, is_merge, digest, _ = _block_common(b, rows)
+    has_r = _block_parent_body(
+        b, children, rows, index_id, number, is_merge, digest
+    )
+
+    def assign(inputs, index_id_v, block_number, has_right, is_merge_v=False):
+        _assign_block(inputs, (index_id, number, is_merge), index_id_v,
+                      block_number, is_merge_v)
+        inputs[has_r] = 1 if has_right else 0
+
+    return assign
+
+
+def _build_block_parent_bound(b, children, foreign):
+    """Parent variant with the extraction binding: a block inserted as a
+    PARENT (sbbst topology) also verifies its final-extraction proof and
+    pins DV/block-number/merge flag (block_tree/parent.rs role)."""
+    from mp2_tpu.extraction.final_circuits import F_BN, F_DV, F_MERGE
+
+    rows = _RowsPis.parse(b, foreign[0].public_inputs())
+    ext = foreign[1].public_inputs()
+    index_id, number, is_merge, digest, rows_digest = _block_common(b, rows)
+    b.connect(is_merge, ext[F_MERGE])
+    for a, c in zip(list(ext[F_DV]), curve_to_pi_targets(b, rows_digest)):
+        b.connect(a, c)
+    b.connect(number.limbs[-1], ext[F_BN])
+    for l in number.limbs[:-1]:
+        b.connect(l, b.zero())
+    has_r = _block_parent_body(
+        b, children, rows, index_id, number, is_merge, digest
+    )
 
     def assign(inputs, index_id_v, block_number, has_right, is_merge_v=False):
         _assign_block(inputs, (index_id, number, is_merge), index_id_v,
@@ -571,6 +605,11 @@ class VerifiableDbCircuits:
         self.block.add_aggregation_circuit(
             "block_parent", 2, _build_block_parent, foreign=[self.rows]
         )
+        if extraction is not None:
+            self.block.add_aggregation_circuit(
+                "block_parent_bound", 2, _build_block_parent_bound,
+                foreign=[self.rows, extraction.fw],
+            )
         self.block.finalize()
 
         self.ivc = RecursionFramework(config, NUM_USER_PIS, set_height=1)

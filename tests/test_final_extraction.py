@@ -469,6 +469,83 @@ def test_block_leaf_bound_end_to_end():
             foreign_children=[rows_env, final_env],
         )
 
+    # --- second block appended as a PARENT (sbbst): block_parent_bound
+    # verifies the new block's extraction proof alongside its children
+    k0 = picked[0]
+    vals2 = dict(vals)
+    vals2[k0] = vals[k0] + 5
+    storage2 = MPT(secure=True)
+    for k in mkeys:
+        storage2.insert(SK.mapping_location(slot, k), rlp.encode_int(vals2[k]))
+    proofs2 = {
+        k: storage2.get_proof(SK.mapping_location(slot, k)) for k in picked
+    }
+    root2 = proofs2[picked[0]][0]
+    assert all(len(proofs2[k]) == 2 and proofs2[k][0] == root2
+               for k in picked), "fixture shape changed"
+    envs2, pis2 = [], []
+    for k in picked:
+        env2, piv2 = vx.prove_leaf_mapping(proofs2[k][-1], k)
+        envs2.append(env2)
+        pis2.append(piv2)
+    b_items2 = rlp.decode(root2)
+    slots2 = [
+        next(
+            i for i, it in enumerate(b_items2)
+            if it == keccak256(proofs2[k][-1])
+        )
+        for k in picked
+    ]
+    values_env2, _ = vx.prove_branch(root2, envs2, pis2, slots2)
+    state2 = MPT(secure=True)
+    state2.insert(ADDR, _account(storage2.root_hash()))
+    state2.insert(OTHER, _account(keccak256(b"other-storage")))
+    header2 = _block_header(state2.root_hash(), 778, keccak256(header))
+    contract_env2, _ = cx.prove_state_path(state2.get_proof(ADDR))
+    block_env2, _ = bx.prove_header(header2)
+    final_env2, final_pis2 = fx.prove(block_env2, contract_env2, values_env2)
+
+    def tx2(t):
+        for k in picked:
+            cells = build_cells_tree([Cell(value_id, vals2[k], False)])
+            t.store(
+                (int.from_bytes(k, "big"), 0),
+                RowPayload(
+                    secondary=Cell(key_id, int.from_bytes(k, "big"), False),
+                    row_unique_data=V.row_unique_data_for_mapping_leaf(k),
+                    cells=cells,
+                ),
+            )
+
+    rows_db.in_transaction(tx2)
+    root_pl2 = rows_db.payload(rows_db.root())
+    rows_digest2 = D.compute_final_digest(
+        False, root_pl2.individual_vd, root_pl2.multiplier_vd,
+        root_pl2.multiplier_cnt,
+    )
+    assert rows_digest2 == Point.from_fields(final_pis2[F_DV])
+    rows_env2 = prove_rows(rows_db.root())
+
+    block_db.in_transaction(
+        lambda t: t.store(
+            778,
+            BlockPayload(
+                index_id=index_id, block_number=778,
+                rows_hash=root_pl2.hash, rows_digest=rows_digest2,
+            ),
+        )
+    )
+    assert block_db.root() == 778  # appended as the parent of 777
+    blk2 = block_db.payload(778)
+    # single (left) child: the right slot carries a duplicate env, gated
+    # off by has_right=False in-circuit
+    env2 = vdb.block.prove_aggregation(
+        "block_parent_bound", [env, env], (index_id, 778, False),
+        C.block_pi_values(blk2),
+        foreign_children=[rows_env2, final_env2],
+    )
+    assert vdb.block.verify(env2)
+
 
 def test_length_leaf_body():
     """Length-slot leaf: constant trie key, u32 value extraction, DM over
