@@ -1372,4 +1372,113 @@ int bn254_groth16_r1cs_export(
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// EVM precompile semantics (EIP-196/197) for the in-process contract
+// executor (mp2_tpu/evm): canonical little-endian u64 limbs per 256-bit
+// word, points validated like the on-chain precompiles (coordinates < q,
+// on curve, (0,0) = infinity, G2 additionally subgroup-checked).
+// ---------------------------------------------------------------------------
+
+static bool load_fq(const u64 *w, U256 *out) {
+  U256 v{{w[0], w[1], w[2], w[3]}};
+  if (geq(v, Q_MOD)) return false;
+  *out = to_mont(v, FQ);
+  return true;
+}
+
+static bool g1_on_curve(const G1 &p) {
+  // y^2 == x^3 + 3
+  U256 lhs = mont_mul(p.y, p.y, FQ);
+  U256 x3 = mont_mul(mont_mul(p.x, p.x, FQ), p.x, FQ);
+  U256 b = to_mont(U256{{3, 0, 0, 0}}, FQ);
+  return lhs == f_add(x3, b, FQ);
+}
+
+static bool load_g1(const u64 *w, G1 *out) {
+  U256 x{{w[0], w[1], w[2], w[3]}}, y{{w[4], w[5], w[6], w[7]}};
+  if (x == u256_zero() && y == u256_zero()) {
+    *out = g1_zero();
+    return true;
+  }
+  if (!load_fq(w, &out->x) || !load_fq(w + 4, &out->y)) return false;
+  out->inf = false;
+  return g1_on_curve(*out);
+}
+
+static void store_g1(const G1 &p, u64 *w) {
+  if (p.inf) {
+    for (int i = 0; i < 8; i++) w[i] = 0;
+    return;
+  }
+  U256 x = from_mont(p.x, FQ), y = from_mont(p.y, FQ);
+  for (int i = 0; i < 4; i++) w[i] = x.l[i];
+  for (int i = 0; i < 4; i++) w[4 + i] = y.l[i];
+}
+
+static bool g2_on_curve(const G2 &p) {
+  // y^2 == x^3 + 3/(9+u)
+  Fq2 lhs = fq2_mul(p.y, p.y);
+  Fq2 x3 = fq2_mul(fq2_mul(p.x, p.x), p.x);
+  Fq2 b2 = fq2_mul(Fq2{to_mont(U256{{3, 0, 0, 0}}, FQ), u256_zero()},
+                   fq2_inv(XI));
+  Fq2 d = fq2_sub(lhs, fq2_add(x3, b2));
+  return fq2_is_zero(d);
+}
+
+// EVM G2 word order: (x_imag, x_real, y_imag, y_real)
+static bool load_g2_evm(const u64 *w, G2 *out) {
+  bool all_zero = true;
+  for (int i = 0; i < 16; i++) all_zero &= (w[i] == 0);
+  if (all_zero) {
+    *out = g2_zero();
+    return true;
+  }
+  if (!load_fq(w, &out->x.c1) || !load_fq(w + 4, &out->x.c0) ||
+      !load_fq(w + 8, &out->y.c1) || !load_fq(w + 12, &out->y.c0))
+    return false;
+  out->inf = false;
+  if (!g2_on_curve(*out)) return false;
+  // subgroup check: r * Q == O (EIP-197 requires order-r points)
+  return g2_mul(*out, R_MOD).inf;
+}
+
+// ecAdd (0x06): in = x1,y1,x2,y2 (32 limbs... 16 u64), out = x,y (8 u64)
+int bn254_ec_add(const u64 *in, u64 *out) {
+  bn254_init();
+  G1 a, b;
+  if (!load_g1(in, &a) || !load_g1(in + 8, &b)) return -1;
+  store_g1(g1_add(a, b), out);
+  return 0;
+}
+
+// ecMul (0x07): in = x,y,s (12 u64; s NOT reduced mod r, per EVM), out = x,y
+int bn254_ec_mul(const u64 *in, u64 *out) {
+  bn254_init();
+  G1 p;
+  if (!load_g1(in, &p)) return -1;
+  U256 s{{in[8], in[9], in[10], in[11]}};
+  store_g1(g1_mul(p, s), out);
+  return 0;
+}
+
+// ecPairing (0x08): k pairs of (G1: 8 u64, G2: 16 u64).  Returns 1 if the
+// pairing product is the identity, 0 if not, negative on invalid input.
+// Uses the Tate pairing; product == 1 is equivalent under any
+// non-degenerate bilinear pairing on the same groups (they differ by a
+// fixed exponent coprime to r), so this matches the on-chain
+// optimal-ate check.
+int bn254_pairing_prod(const u64 *in, int k) {
+  bn254_init();
+  Fq12 acc = fq12_one();
+  for (int i = 0; i < k; i++) {
+    G1 p;
+    G2 q;
+    if (!load_g1(in + 24 * i, &p)) return -1;
+    if (!load_g2_evm(in + 24 * i + 8, &q)) return -2;
+    if (p.inf || q.inf) continue;
+    acc = fq12_mul(acc, pairing(p, q));
+  }
+  return fq12_eq(acc, fq12_one()) ? 1 : 0;
+}
+
 }  // extern "C"
