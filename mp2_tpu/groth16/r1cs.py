@@ -176,19 +176,26 @@ class R1CS:
         self.enforce_zero(x + acc.scale(-1))
         self._enforce_lt_p(bits)
 
-    def gl_mul(self, a: LC, b: LC, bits: int = 128) -> LC:
+    def mul_true(self, a: LC, b: LC) -> LC:
+        """One multiplication row; result LC carries the TRUE integer
+        product (caller tracks magnitude and reduces when needed)."""
         raw = self.mul(a, b)
-        raw = LC(raw.terms, raw.const, a.value * b.value)  # true product
-        return self.gl_reduce(raw, bits)
+        return LC(raw.terms, raw.const, a.value * b.value)
+
+    def gl_mul(self, a: LC, b: LC, bits: int = 128) -> LC:
+        return self.gl_reduce(self.mul_true(a, b), bits)
 
     # --------------------------------------------------------- Poseidon2
     def _sbox(self, x: LC, in_bits: int) -> LC:
+        """x^7 mod P with LAZY reduction: unreduced 192-bit intermediates
+        are safe in Fr (~2^254), so only x^3 and x^7 pay a reduction —
+        2 reductions instead of 4 per sbox."""
         if in_bits > 64:
             x = self.gl_reduce(x, in_bits)
-        x2 = self.gl_mul(x, x)
-        x3 = self.gl_mul(x2, x)
-        x6 = self.gl_mul(x3, x3)
-        return self.gl_mul(x6, x)
+        x2 = self.mul_true(x, x)          # < 2^128
+        x3 = self.gl_reduce(self.mul_true(x2, x), 192)
+        x6 = self.mul_true(x3, x3)        # < 2^128
+        return self.gl_reduce(self.mul_true(x6, x), 192)
 
     @staticmethod
     def _ext_linear(state: List[LC]) -> List[LC]:
