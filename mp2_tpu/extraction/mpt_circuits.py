@@ -158,6 +158,14 @@ def _bits_to_u32s_be_bytes(b, bits):
     return f(b, bits)
 
 
+def _extracted_ids(table_info, value_id: int, evm_word: int = 0):
+    """Columns extracted from one storage word of the schema: every schema
+    column living at that evm_word (single full-word tables reduce to
+    [value_id])."""
+    ids = [c.identifier for c in table_info if c.evm_word == evm_word]
+    return ids or ([value_id] if evm_word == 0 else [])
+
+
 def _decode_item(b: CircuitBuilder, arr, off: Target):
     """RLP item at `off`: single byte (< 0x80), short string (0x80-0xb7),
     or long string with ONE length byte (0xb8) — the forms MPT node items
@@ -239,9 +247,14 @@ def build_leaf_single_circuit(
     value_id: int,
     config: Optional[CircuitConfig] = None,
     max_len: int = MAX_LEAF_LEN,
+    evm_word: int = 0,
 ) -> MptCircuit:
-    """values_extraction leaf for a single full-word storage slot
-    (leaf_single.rs:39-60 with the schema baked)."""
+    """values_extraction leaf for one storage word of a simple/struct slot
+    (leaf_single.rs:39-60 with the schema baked; the MPT key is baked to
+    nibbles(keccak(pad32(slot + evm_word))) so the proof can only speak
+    about its own storage word)."""
+    from mp2_tpu.extraction.storage_key import simple_slot_location
+
     b = CircuitBuilder(config or test_config())
     node = add_byte_inputs(b, max_len)
     nlen = b.add_input()
@@ -265,12 +278,14 @@ def build_leaf_single_circuit(
         b.mul(raw[j], small_lt(b, b.constant(j), v_len)) for j in range(32)
     ]
     value32 = left_pad32(b, masked, v_len)
-    packed = pack_u32_be(b, value32)
 
-    # DV = (sum over extracted columns of D(id || packed)) * row_id;
-    # single full-word column => one map_to_curve (columns.py
-    # column_values_digest), row_id constant for single leaves
-    col_digest = map_to_curve_point_circuit(b, [b.constant(value_id)] + packed)
+    # DV = (sum over extracted columns of D(id || extracted)) * row_id;
+    # the column gadget slices each schema column's bits out of the word
+    # (full-word single columns reduce to one map_to_curve)
+    from mp2_tpu.extraction.column_gadget import column_values_digest_circuit
+
+    extracted = _extracted_ids(table_info, value_id, evm_word)
+    col_digest = column_values_digest_circuit(b, table_info, extracted, value32)
     row_id = compute_row_id(row_unique_data_for_single_leaf(), len(table_info))
     h0, h1 = row_id & ((1 << 64) - 1), row_id >> 64
     dv = curve_scalar_mul_hash128(
@@ -278,23 +293,29 @@ def build_leaf_single_circuit(
     )
     dm = curve_constant(b, metadata_digest(table_info))
 
-    # key wire: the compact path must be the key's TAIL (mpt_sequential
-    # MPTKeyWire init); S = 64 - path nibbles
-    key = add_key_nibbles(b)
+    # key BAKED to this word's storage location; the compact path must be
+    # the key's TAIL (mpt_sequential MPTKeyWire init); S = 64 - path nibbles
+    slots = {c.slot for c in table_info}
+    assert len(slots) == 1, "single-table schema spans one slot"
+    key_nibs = host_key_nibbles(simple_slot_location(slots.pop(), evm_word))
+    key = [b.constant(int(v)) for v in key_nibs]
     tail, t = _compact_key_tail(b, node, path_off, path_len, flag_base=2)
     s = b.sub(b.constant(MAX_KEY_NIBBLES), t)
     _enforce_key_segment(b, key, s, b.constant(MAX_KEY_NIBBLES), tail)
     _register_mpt_pis(b, h_u32, dv, dm, b.one(), key, s)
 
-    def assign(inputs: Dict, node_bytes: bytes, key_nibbles: Sequence[int]):
+    def assign(inputs: Dict, node_bytes: bytes,
+               key_nibbles: Optional[Sequence[int]] = None):
         assert len(node_bytes) <= max_len
+        if key_nibbles is not None:
+            assert list(key_nibbles) == key_nibs, (
+                "leaf node is not at this slot's storage location"
+            )
         for t_, v in zip(node, node_bytes):
             inputs[t_] = v
         for t_ in node[len(node_bytes):]:
             inputs[t_] = 0
         inputs[nlen] = len(node_bytes)
-        for t_, v in zip(key, key_nibbles):
-            inputs[t_] = int(v)
 
     return MptCircuit(data=b.build(), node_targets=node, len_target=nlen,
                       assign=assign)
@@ -334,7 +355,6 @@ def build_leaf_mapping_body(
         b.mul(raw[j], small_lt(b, b.constant(j), v_len)) for j in range(32)
     ]
     value32 = left_pad32(b, masked, v_len)
-    packed_value = pack_u32_be(b, value32)
 
     # witnessed mapping key (already left-padded to 32 bytes)
     key32 = add_byte_inputs(b, 32)
@@ -366,7 +386,11 @@ def build_leaf_mapping_body(
     _enforce_key_segment(b, key, s, b.constant(MAX_KEY_NIBBLES), tail)
 
     # digests
-    vd = map_to_curve_point_circuit(b, [b.constant(value_id)] + packed_value)
+    from mp2_tpu.extraction.column_gadget import column_values_digest_circuit
+
+    vd = column_values_digest_circuit(
+        b, table_info, _extracted_ids(table_info, value_id), value32
+    )
     key_d = map_to_curve_point_circuit(b, [b.constant(key_id)] + packed_key)
     vd = curve_add(b, vd, key_d)
     rud = b.hash_no_pad(packed_key)
@@ -387,6 +411,126 @@ def build_leaf_mapping_body(
             inputs[t_] = 0
         inputs[nlen] = len(node_bytes)
         for t_, v in zip(key32, mapping_key32):
+            inputs[t_] = v
+
+    return assign
+
+
+def build_leaf_mapping_of_mappings_body(
+    b: CircuitBuilder,
+    table_info: Sequence[ColumnInfo],
+    value_id: int,
+    slot: int,
+    outer_key_id: int,
+    inner_key_id: int,
+    max_len: int = MAX_LEAF_LEN,
+):
+    """values_extraction mapping-of-mappings leaf
+    (leaf_mapping_of_mappings.rs, evm_word=0): BOTH mapping keys are
+    witnessed; the nested storage location
+    keccak(pad32(inner) || keccak(pad32(outer) || pad32(slot))) and the
+    trie key nibbles(keccak(location)) are recomputed IN-CIRCUIT.
+    DV = row_id(outer, inner) * (D(value_id || value) + D(outer_key_id ||
+    outer) + D(inner_key_id || inner)); DM adds both key-column digests
+    (compute_leaf_mapping_of_mappings_metadata_digest)."""
+    from mp2_tpu.circuit.gadgets.keccak import keccak256_fixed
+    from mp2_tpu.extraction.values import (
+        compute_leaf_mapping_of_mappings_metadata_digest,
+    )
+
+    node = add_byte_inputs(b, max_len)
+    nlen = b.add_input()
+    h_bits = keccak256_variable(b, node, nlen, max_len)
+    h_u32 = _bits_to_u32s_be_bytes(b, h_bits)
+
+    ps = _decode_list_start(b, node)
+    path_off, path_len, _ = _decode_item(b, node, ps)
+    val_off, val_len, _ = _decode_item(b, node, b.add(path_off, path_len))
+    v_off, v_len, _ = _decode_item(b, node, val_off)
+    b.connect(b.add(val_off, val_len), nlen)
+    b.connect(b.add(v_off, v_len), nlen)
+    b.connect(small_lt(b, v_len, b.constant(33)), b.one())
+    raw = extract_subarray(b, node, v_off, 32)
+    masked = [
+        b.mul(raw[j], small_lt(b, b.constant(j), v_len)) for j in range(32)
+    ]
+    value32 = left_pad32(b, masked, v_len)
+
+    # witnessed keys (already left-padded to 32 bytes)
+    outer32 = add_byte_inputs(b, 32)
+    inner32 = add_byte_inputs(b, 32)
+    packed_outer = pack_u32_be(b, outer32)
+    packed_inner = pack_u32_be(b, inner32)
+
+    def bits_to_bytes(bits):
+        out = []
+        for i in range(32):
+            byte = b.zero()
+            for k in range(8):
+                byte = b.mul_add(bits[8 * i + k], b.constant(1 << k), byte)
+            out.append(byte)
+        return out
+
+    # nested location (storage_key.rs build_mapping_of_mappings):
+    # inner_base = keccak(pad32(outer) || pad32(slot));
+    # location   = keccak(pad32(inner) || inner_base)
+    slot_bytes = [b.constant(v) for v in (slot).to_bytes(32, "big")]
+    inner_base = bits_to_bytes(
+        keccak256_fixed(b, list(outer32) + slot_bytes)
+    )
+    loc_bytes = bits_to_bytes(
+        keccak256_fixed(b, list(inner32) + inner_base)
+    )
+    trie_bits = keccak256_fixed(b, loc_bytes)
+    key = []
+    for i in range(32):
+        hi = b.zero()
+        lo = b.zero()
+        for k in range(4):
+            lo = b.mul_add(trie_bits[8 * i + k], b.constant(1 << k), lo)
+            hi = b.mul_add(trie_bits[8 * i + 4 + k], b.constant(1 << k), hi)
+        key.extend((hi, lo))
+
+    tail, t = _compact_key_tail(b, node, path_off, path_len, flag_base=2)
+    s = b.sub(b.constant(MAX_KEY_NIBBLES), t)
+    _enforce_key_segment(b, key, s, b.constant(MAX_KEY_NIBBLES), tail)
+
+    # digests
+    from mp2_tpu.extraction.column_gadget import column_values_digest_circuit
+
+    vd = column_values_digest_circuit(
+        b, table_info, _extracted_ids(table_info, value_id), value32
+    )
+    for kid, packed in (
+        (outer_key_id, packed_outer),
+        (inner_key_id, packed_inner),
+    ):
+        kd = map_to_curve_point_circuit(b, [b.constant(kid)] + packed)
+        vd = curve_add(b, vd, kd)
+    rud = b.hash_no_pad(packed_outer + packed_inner)
+    num_actual = len(table_info) + 2
+    rid_h = b.hash_no_pad(list(rud) + [b.constant(num_actual)])
+    dv = curve_scalar_mul_hash128(b, rid_h[0], rid_h[1], vd)
+    dm = curve_constant(
+        b,
+        compute_leaf_mapping_of_mappings_metadata_digest(
+            table_info, slot, outer_key_id, inner_key_id
+        ),
+    )
+    _register_mpt_pis(b, h_u32, dv, dm, b.one(), key, s)
+
+    def assign(inputs: Dict, node_bytes: bytes, outer_key32: bytes,
+               inner_key32: bytes):
+        assert len(node_bytes) <= max_len
+        assert len(outer_key32) == 32 and len(inner_key32) == 32
+        for t_, v in zip(node, node_bytes):
+            inputs[t_] = v
+        for t_ in node[len(node_bytes):]:
+            inputs[t_] = 0
+        inputs[nlen] = len(node_bytes)
+        for t_, v in zip(outer32, outer_key32):
+            inputs[t_] = v
+        for t_, v in zip(inner32, inner_key32):
             inputs[t_] = v
 
     return assign
@@ -615,20 +759,38 @@ class ValuesExtractionCircuits:
         max_branch_len: int = 272,
         max_leaf_len: int = MAX_LEAF_LEN,
         mapping: Optional[tuple] = None,
+        branch_arities: Sequence[int] = (1, 2),
+        mapping_of_mappings: Optional[tuple] = None,
     ):
         """`mapping=(slot, key_id)` builds the set for a mapping table: the
         leaf member becomes `leaf_mapping` (storage location + trie key
-        recomputed in-circuit from the witnessed mapping key)."""
+        recomputed in-circuit from the witnessed mapping key).
+        `mapping_of_mappings=(slot, outer_key_id, inner_key_id)` builds the
+        nested-mapping leaf instead (leaf_mapping_of_mappings.rs).
+        `branch_arities`: which branch members to instantiate (the
+        reference picks the smallest fitting arity out of 2/9/16,
+        values_extraction/api.rs:371)."""
         from mp2_tpu.recursion.runtime import RecursionFramework
 
         cfg = config or test_config()
         self._table_info = list(table_info)
         self._value_id = value_id
         self._mapping = mapping
-        self.fw = RecursionFramework(cfg, NUM_MPT_PIS, set_height=2)
+        self._mapping_of_mappings = mapping_of_mappings
+        assert not (mapping and mapping_of_mappings), (
+            "pick one leaf flavour per set"
+        )
+        n_leaves = (
+            1 if (mapping or mapping_of_mappings)
+            else max(1, len({c.evm_word for c in table_info}))
+        )
+        n_members = n_leaves + 1 + len(tuple(branch_arities))
+        set_height = max(1, (n_members - 1).bit_length())
+        self.fw = RecursionFramework(cfg, NUM_MPT_PIS, set_height=set_height)
 
-        def leaf_build(b):
-            mc_inputs = {}
+        def leaf_build(b, evm_word=0):
+            from mp2_tpu.extraction.storage_key import simple_slot_location
+
             node = add_byte_inputs(b, max_leaf_len)
             nlen = b.add_input()
             h_bits = keccak256_variable(b, node, nlen, max_leaf_len)
@@ -646,9 +808,13 @@ class ValuesExtractionCircuits:
                 for j in range(32)
             ]
             value32 = left_pad32(b, masked, v_len)
-            packed = pack_u32_be(b, value32)
-            col_digest = map_to_curve_point_circuit(
-                b, [b.constant(value_id)] + packed
+            from mp2_tpu.extraction.column_gadget import (
+                column_values_digest_circuit,
+            )
+
+            col_digest = column_values_digest_circuit(
+                b, table_info,
+                _extracted_ids(table_info, value_id, evm_word), value32,
             )
             row_id = compute_row_id(
                 row_unique_data_for_single_leaf(), len(table_info)
@@ -658,27 +824,35 @@ class ValuesExtractionCircuits:
                 b.constant(row_id >> 64), col_digest,
             )
             dm = curve_constant(b, metadata_digest(table_info))
-            key = add_key_nibbles(b)
+            # the key is BAKED to nibbles(keccak(pad32(slot + evm_word))):
+            # a leaf_single proof can only speak about ITS storage word
+            # (leaf_single.rs slot->MPT key check; storage_key.rs:209)
+            slots = {c.slot for c in table_info}
+            assert len(slots) == 1, "single-table schema spans one slot"
+            key_nibs = host_key_nibbles(
+                simple_slot_location(slots.pop(), evm_word)
+            )
+            key = [b.constant(int(v)) for v in key_nibs]
             tail, t = _compact_key_tail(b, node, path_off, path_len,
                                         flag_base=2)
             s = b.sub(b.constant(MAX_KEY_NIBBLES), t)
             _enforce_key_segment(b, key, s, b.constant(MAX_KEY_NIBBLES), tail)
             _register_mpt_pis(b, h_u32, dv, dm, b.one(), key, s)
 
-            def assign(inputs, node_bytes, key_nibbles):
+            def assign(inputs, node_bytes, key_nibbles=None):
+                if key_nibbles is not None:
+                    assert list(key_nibbles) == key_nibs, (
+                        "leaf node is not at this slot's storage location"
+                    )
                 for t_, v in zip(node, node_bytes):
                     inputs[t_] = v
                 for t_ in node[len(node_bytes):]:
                     inputs[t_] = 0
                 inputs[nlen] = len(node_bytes)
-                for t_, v in zip(key, key_nibbles):
-                    inputs[t_] = int(v)
 
             return assign
 
-        if mapping is None:
-            self.fw.add_leaf_circuit("leaf_single", leaf_build)
-        else:
+        if mapping is not None:
             m_slot, m_key_id = mapping
             self.fw.add_leaf_circuit(
                 "leaf_mapping",
@@ -687,6 +861,24 @@ class ValuesExtractionCircuits:
                     max_leaf_len,
                 ),
             )
+        elif mapping_of_mappings is not None:
+            mm_slot, mm_outer_id, mm_inner_id = mapping_of_mappings
+            self.fw.add_leaf_circuit(
+                "leaf_mapping_of_mappings",
+                lambda b: build_leaf_mapping_of_mappings_body(
+                    b, self._table_info, value_id, mm_slot, mm_outer_id,
+                    mm_inner_id, max_leaf_len,
+                ),
+            )
+        else:
+            # one leaf member per storage word of the schema (struct slots
+            # span several EVM words; each word is its own trie leaf)
+            self._words = sorted({c.evm_word for c in table_info}) or [0]
+            for w in self._words:
+                name = "leaf_single" if w == 0 else f"leaf_single_w{w}"
+                self.fw.add_leaf_circuit(
+                    name, lambda b, w=w: leaf_build(b, w)
+                )
 
         def ext_build(b, children):
             return build_extension_circuit_body(
@@ -695,7 +887,8 @@ class ValuesExtractionCircuits:
 
         self.fw.add_aggregation_circuit("extension", 1, ext_build)
 
-        for arity in (1, 2):
+        self._branch_arities = tuple(sorted(branch_arities))
+        for arity in self._branch_arities:
             body = build_branch_circuit(arity, None, max_len=max_branch_len)
 
             def make(body=body):
@@ -707,7 +900,8 @@ class ValuesExtractionCircuits:
             self.fw.add_aggregation_circuit(f"branch{arity}", arity, make())
         self.fw.finalize()
 
-    def prove_leaf(self, node_bytes: bytes, key_nibbles: Sequence[int]):
+    def prove_leaf(self, node_bytes: bytes, key_nibbles: Sequence[int],
+                   evm_word: int = 0):
         # leaf PI values are recomputed host-side for the claimed PIs
         from mp2_tpu.utils.keccak import keccak256
         from mp2_tpu.utils.u256 import left_pad32 as lp32
@@ -716,14 +910,15 @@ class ValuesExtractionCircuits:
         items = rlp_mod.decode(node_bytes)
         value = lp32(rlp_mod.decode(items[1]))
         # single-column schema: digest conventions from the host layer
-        dv = self._leaf_dv(value)
+        dv = self._leaf_dv(value, evm_word)
         dm = self._dm
         pis = mpt_pi_values(
             keccak256(node_bytes), dv, dm, 1, key_nibbles,
             host_leaf_s(node_bytes),
         )
+        name = "leaf_single" if evm_word == 0 else f"leaf_single_w{evm_word}"
         return (
-            self.fw.prove_leaf("leaf_single", (node_bytes, key_nibbles), pis),
+            self.fw.prove_leaf(name, (node_bytes, key_nibbles), pis),
             pis,
         )
 
@@ -740,7 +935,7 @@ class ValuesExtractionCircuits:
         items = rlp_mod.decode(node_bytes)
         value = lp32(rlp_mod.decode(items[1]))
         dv = Vmod.compute_leaf_mapping_values_digest(
-            self._table_info, [self._value_id], value, mapping_key, 0,
+            self._table_info, _extracted_ids(self._table_info, self._value_id), value, mapping_key, 0,
             m_key_id,
         )
         dm = compute_leaf_mapping_metadata_digest(
@@ -757,10 +952,47 @@ class ValuesExtractionCircuits:
         )
         return env, pis
 
+    def prove_leaf_mapping_of_mappings(
+        self, node_bytes: bytes, outer_key: bytes, inner_key: bytes
+    ):
+        """Prove a nested-mapping leaf: both keys witnessed, nested storage
+        location + trie key re-derived in-circuit."""
+        from mp2_tpu.extraction import storage_key as SKmod
+        from mp2_tpu.extraction import values as Vmod
+        from mp2_tpu.utils.keccak import keccak256
+        from mp2_tpu.utils.u256 import left_pad32 as lp32
+        from mp2_tpu.utils import rlp as rlp_mod
+
+        mm_slot, mm_outer_id, mm_inner_id = self._mapping_of_mappings
+        items = rlp_mod.decode(node_bytes)
+        value = lp32(rlp_mod.decode(items[1]))
+        dv = Vmod.compute_leaf_mapping_of_mappings_values_digest(
+            self._table_info, _extracted_ids(self._table_info, self._value_id), value, outer_key, inner_key,
+            0, mm_outer_id, mm_inner_id,
+        )
+        dm = Vmod.compute_leaf_mapping_of_mappings_metadata_digest(
+            self._table_info, mm_slot, mm_outer_id, mm_inner_id
+        )
+        loc = SKmod.mapping_of_mappings_location(mm_slot, outer_key, inner_key)
+        key_nibbles = host_key_nibbles(loc)
+        pis = mpt_pi_values(
+            keccak256(node_bytes), dv, dm, 1, key_nibbles,
+            host_leaf_s(node_bytes),
+        )
+        env = self.fw.prove_leaf(
+            "leaf_mapping_of_mappings",
+            (node_bytes, lp32(outer_key), lp32(inner_key)), pis,
+        )
+        return env, pis
+
     def prove_branch(self, node_bytes: bytes, children, child_pis, slots):
         from mp2_tpu.field.ecgfp5 import Point
         from mp2_tpu.utils.keccak import keccak256
 
+        assert len(children) in self._branch_arities, (
+            f"no branch member of arity {len(children)} "
+            f"(instantiated: {self._branch_arities})"
+        )
         dv = Point.neutral()
         n = 0
         for piv in child_pis:
@@ -775,6 +1007,109 @@ class ValuesExtractionCircuits:
         )
         return env, pis
 
+    def prove_extension(self, node_bytes: bytes, child_env, child_piv):
+        """Extension node above an already-proven child: digests/count pass
+        through, path nibbles consumed (leaf_or_extension.rs role)."""
+        from mp2_tpu.field.ecgfp5 import Point
+        from mp2_tpu.utils import rlp as rlp_mod
+        from mp2_tpu.utils.keccak import keccak256
+
+        items = rlp_mod.decode(node_bytes)
+        assert len(items) == 2, "extension node must be a 2-item list"
+        s_new = int(child_piv[95]) - len(compact_nibbles(items[0]))
+        pis = mpt_pi_values(
+            keccak256(node_bytes),
+            Point.from_fields(child_piv[8:19]),
+            Point.from_fields(child_piv[19:30]),
+            int(child_piv[30]),
+            [int(x) for x in child_piv[31:95]],
+            s_new,
+        )
+        env = self.fw.prove_aggregation(
+            "extension", [child_env], (node_bytes,), pis
+        )
+        return env, pis
+
+    def prove_trie(self, paths: Dict, leaf_args: Dict):
+        """Prove an arbitrary storage-trie shape bottom-up.
+
+        `paths`: entry -> root-first node list (MPT.get_proof output);
+        `leaf_args`: entry -> args for the leaf prover (mapping key bytes
+        for mapping sets, key nibbles for simple-slot sets).  Unproven
+        siblings stay as raw hash bytes inside their parent nodes.  Returns
+        (root envelope, root PIs) — the map-reduce over one trie
+        (values_extraction/api.rs:214-340 role)."""
+        from mp2_tpu.utils import rlp as rlp_mod
+        from mp2_tpu.utils.keccak import keccak256
+
+        node_of: Dict[bytes, bytes] = {}
+        parent_of: Dict[bytes, bytes] = {}
+        for nodes in paths.values():
+            hs = [keccak256(nb) for nb in nodes]
+            for h, nb in zip(hs, nodes):
+                node_of[h] = nb
+            for c, p in zip(hs[1:], hs):
+                assert parent_of.get(c, p) == p, "inconsistent proof paths"
+                parent_of[c] = p
+
+        proven: Dict[bytes, tuple] = {}
+        for entry, nodes in paths.items():
+            leaf = nodes[-1]
+            h = keccak256(leaf)
+            if h in proven:
+                continue
+            if self._mapping is not None:
+                proven[h] = self.prove_leaf_mapping(leaf, leaf_args[entry])
+            elif self._mapping_of_mappings is not None:
+                proven[h] = self.prove_leaf_mapping_of_mappings(
+                    leaf, *leaf_args[entry]
+                )
+            else:
+                args = leaf_args[entry]
+                if (
+                    isinstance(args, tuple) and len(args) == 2
+                    and isinstance(args[1], int)
+                    and not isinstance(args[0], int)
+                ):  # (key_nibbles, evm_word) for struct words
+                    proven[h] = self.prove_leaf(leaf, args[0], args[1])
+                else:
+                    proven[h] = self.prove_leaf(leaf, args)
+
+        kids: Dict[bytes, set] = {}
+        for c, p in parent_of.items():
+            kids.setdefault(p, set()).add(c)
+        pending = set(kids)
+        while pending:
+            ready = [
+                h for h in pending
+                if all(c in proven for c in kids[h])
+            ]
+            assert ready, "trie proof graph is not connected"
+            for h in ready:
+                nb = node_of[h]
+                items = rlp_mod.decode(nb)
+                if len(items) == 17:
+                    slot_of = {
+                        c: next(
+                            i for i, it in enumerate(items[:16]) if it == c
+                        )
+                        for c in kids[h]
+                    }
+                    cs = sorted(kids[h], key=slot_of.__getitem__)
+                    proven[h] = self.prove_branch(
+                        nb,
+                        [proven[c][0] for c in cs],
+                        [proven[c][1] for c in cs],
+                        [slot_of[c] for c in cs],
+                    )
+                else:
+                    (c,) = kids[h]
+                    proven[h] = self.prove_extension(nb, *proven[c])
+                pending.discard(h)
+
+        root_h = keccak256(next(iter(paths.values()))[0])
+        return proven[root_h]
+
     def verify(self, env) -> bool:
         return self.fw.verify(env)
 
@@ -782,9 +1117,11 @@ class ValuesExtractionCircuits:
     def _dm(self):
         return metadata_digest(self._table_info)
 
-    def _leaf_dv(self, value):
+    def _leaf_dv(self, value, evm_word: int = 0):
         from mp2_tpu.extraction import values as V
 
         return V.compute_leaf_single_values_digest(
-            self._table_info, [self._value_id], value
+            self._table_info,
+            _extracted_ids(self._table_info, self._value_id, evm_word),
+            value,
         )

@@ -27,14 +27,27 @@ CHAIN_ID = 1
 
 @pytest.fixture(scope="module")
 def fixture():
+    """A struct slot spanning 3 EVM words: one full-word column per word
+    (each word is its own trie leaf at pad32(slot + w))."""
+    from mp2_tpu.extraction.columns import ColumnInfo
+
     slot = 3
-    value_id = V.identifier_for_value_column(slot, 0, 256, 0, ADDR, CHAIN_ID)
-    table = [simple_column(slot, value_id)]
+    table = [
+        ColumnInfo(
+            slot=slot,
+            identifier=V.identifier_for_value_column(
+                slot, 0, 256, w, ADDR, CHAIN_ID
+            ),
+            byte_offset=0, bit_offset=0, length=256, evm_word=w,
+        )
+        for w in range(3)
+    ]
+    value_id = table[0].identifier
     trie = MPT(secure=True)
     entries = {}
-    for k in (1, 2, 3):
-        loc = SK.simple_slot_location(slot, evm_word=k - 1)
-        val = 10**18 + k  # large enough that leaves are hash-referenced
+    for w in range(3):
+        loc = SK.simple_slot_location(slot, evm_word=w)
+        val = 10**18 + w + 1  # large enough that leaves are hash-referenced
         trie.insert(loc, rlp.encode_int(val))
         entries[loc] = val
     return trie, table, value_id, entries
@@ -70,16 +83,24 @@ def test_leaf_single_circuit_matches_host(fixture):
     with pytest.raises(AssertionError):
         mc.data.check_witness(w, bad)
 
-    # a key whose tail disagrees with the leaf's compact path must fail
-    wrong_key = list(key_nibs)
-    wrong_key[-1] ^= 1
+    # the key is BAKED to this word's location: a leaf at a DIFFERENT
+    # storage word cannot prove under this circuit
+    other_loc = [l for l in entries if l != loc][0]
+    other_body = trie.get_proof(other_loc)[-1]
     inputs = {}
-    mc.assign(inputs, leaf_body, wrong_key)
+    mc.assign(inputs, other_body)
     with pytest.raises((ValueError, AssertionError)):
-        w = mc.data.generate_witness(inputs)
+        w2 = mc.data.generate_witness(inputs)
         mc.data.check_witness(
-            w, mpt_pi_values(keccak256(leaf_body), dv, dm, 1, wrong_key, s)
+            w2,
+            mpt_pi_values(
+                keccak256(other_body), dv, dm, 1, key_nibs,
+                host_leaf_s(other_body),
+            ),
         )
+    # and claiming someone else's key nibbles is rejected up front
+    with pytest.raises(AssertionError):
+        mc.assign({}, other_body, host_key_nibbles(other_loc))
 
 
 class _Stub:
@@ -227,20 +248,22 @@ def test_values_extraction_recursive_set(fixture):
     locs = list(entries)
     proofs = {loc: trie.get_proof(loc) for loc in locs}
     branch_body = proofs[locs[0]][0]
-    children_bodies, child_keys = [], []
+    children_bodies, child_keys, child_words = [], [], []
     for loc in locs:
         pr = proofs[loc]
         if len(pr) >= 2 and pr[0] == branch_body:
             children_bodies.append(pr[1])
             child_keys.append(host_key_nibbles(loc))
+            child_words.append(int.from_bytes(loc, "big") - table[0].slot)
     children_bodies = children_bodies[:2]
     child_keys = child_keys[:2]
+    child_words = child_words[:2]
     assert len(children_bodies) == 2
 
     vx = ValuesExtractionCircuits(table, value_id)
     envs, pis = [], []
-    for body, knibs in zip(children_bodies, child_keys):
-        env, piv = vx.prove_leaf(body, knibs)
+    for body, knibs, wd in zip(children_bodies, child_keys, child_words):
+        env, piv = vx.prove_leaf(body, knibs, wd)
         assert vx.verify(env)
         envs.append(env)
         pis.append(piv)
@@ -335,3 +358,96 @@ def test_leaf_mapping_circuit_matches_host():
     with pytest.raises((ValueError, AssertionError)):
         w = data.generate_witness(inputs)
         data.check_witness(w, pis)
+
+
+def test_leaf_mapping_of_mappings_circuit_matches_host():
+    """Nested-mapping leaf: location = keccak(pad32(inner) ||
+    keccak(pad32(outer) || pad32(slot))) and the trie key recomputed
+    in-circuit from BOTH witnessed keys; DV/DM match the host
+    mapping-of-mappings conventions."""
+    from mp2_tpu.extraction.mpt_circuits import (
+        build_leaf_mapping_of_mappings_body,
+    )
+
+    slot = 5
+    outer_id = V.identifier_for_outer_mapping_key_column(slot, ADDR, CHAIN_ID)
+    inner_id = V.identifier_for_inner_mapping_key_column(slot, ADDR, CHAIN_ID)
+    value_id = V.identifier_for_value_column(slot, 0, 256, 0, ADDR, CHAIN_ID)
+    table = [simple_column(slot, value_id)]
+    outer, inner = b"\x07", b"\x2a"
+    loc = SK.mapping_of_mappings_location(slot, outer, inner)
+    val = 10**18 + 11
+    trie = MPT(secure=True)
+    trie.insert(loc, rlp.encode_int(val))
+    leaf_body = trie.get_proof(loc)[-1]
+
+    b = CircuitBuilder(test_config())
+    assign = build_leaf_mapping_of_mappings_body(
+        b, table, value_id, slot, outer_id, inner_id
+    )
+    data = b.build()
+    inputs = {}
+    assign(inputs, leaf_body, left_pad32(outer), left_pad32(inner))
+    value = left_pad32(rlp.decode(rlp.decode(leaf_body)[1]))
+    dv = V.compute_leaf_mapping_of_mappings_values_digest(
+        table, [value_id], value, outer, inner, 0, outer_id, inner_id
+    )
+    dm = V.compute_leaf_mapping_of_mappings_metadata_digest(
+        table, slot, outer_id, inner_id
+    )
+    pis = mpt_pi_values(
+        keccak256(leaf_body), dv, dm, 1, host_key_nibbles(loc),
+        host_leaf_s(leaf_body),
+    )
+    w = data.generate_witness(inputs)
+    data.check_witness(w, pis)
+
+    # swapping the two witnessed keys derives a different location and
+    # cannot match the leaf's compact path
+    inputs = {}
+    assign(inputs, leaf_body, left_pad32(inner), left_pad32(outer))
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        data.check_witness(w, pis)
+
+
+@slow
+def test_values_extraction_set_mapping_of_mappings():
+    """The recursive set with the nested-mapping leaf member: two entries
+    of one inner mapping proven through prove_trie to the storage root."""
+    from mp2_tpu.extraction.mpt_circuits import ValuesExtractionCircuits
+    from mp2_tpu.field.ecgfp5 import Point
+
+    slot = 5
+    outer_id = V.identifier_for_outer_mapping_key_column(slot, ADDR, CHAIN_ID)
+    inner_id = V.identifier_for_inner_mapping_key_column(slot, ADDR, CHAIN_ID)
+    value_id = V.identifier_for_value_column(slot, 0, 256, 0, ADDR, CHAIN_ID)
+    table = [simple_column(slot, value_id)]
+    pairs = [(b"\x07", b"\x2a"), (b"\x07", b"\x2b"), (b"\x08", b"\x01")]
+    trie = MPT(secure=True)
+    vals = {}
+    for i, (o, inn) in enumerate(pairs):
+        loc = SK.mapping_of_mappings_location(slot, o, inn)
+        vals[(o, inn)] = 10**18 + i
+        trie.insert(loc, rlp.encode_int(vals[(o, inn)]))
+
+    vx = ValuesExtractionCircuits(
+        table, value_id, mapping_of_mappings=(slot, outer_id, inner_id),
+        branch_arities=(1, 2, 3),
+    )
+    paths = {
+        (o, inn): trie.get_proof(SK.mapping_of_mappings_location(slot, o, inn))
+        for o, inn in pairs
+    }
+    env, pis = vx.prove_trie(paths, {p: p for p in pairs})
+    assert vx.verify(env)
+    assert pis[95] == 0 and pis[30] == 3  # root reached, 3 leaves
+
+    want_dv = Point.neutral()
+    for (o, inn), v in vals.items():
+        want_dv = want_dv + V.compute_leaf_mapping_of_mappings_values_digest(
+            table, [value_id],
+            left_pad32(v.to_bytes((v.bit_length() + 7) // 8, "big")),
+            o, inn, 0, outer_id, inner_id,
+        )
+    assert Point.from_fields(pis[8:19]) == want_dv
