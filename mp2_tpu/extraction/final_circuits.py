@@ -669,6 +669,60 @@ class LengthExtractionCircuits:
 # ---------------------------------------------------------------------------
 # (merge prove method lives on FinalExtractionCircuits below)
 
+DUMMY_METADATA_DIGEST_PREFIX = b"DUMMY_EXTRACTION"
+
+
+def no_provable_metadata_digest(md) -> "Point":
+    """Host mirror of the dummy circuit's metadata re-encoding: the prefix
+    guarantees a non-provable table's digest can never collide with a real
+    extraction digest (mp2-v1/src/api.rs:482-495)."""
+    return p2h.map_to_curve_point(
+        list(DUMMY_METADATA_DIGEST_PREFIX) + md.to_fields()
+    )
+
+
+def build_no_provable_body(b: CircuitBuilder):
+    """final_extraction dummy circuit (dummy_circuit.rs:80-135): block
+    hashes / primary index / digests are free witnesses (the data has no
+    on-chain provenance), but the metadata digest is re-encoded as
+    D(DUMMY_EXTRACTION || DM) in-circuit so a non-provable proof can never
+    masquerade as a provable one; merge flag pinned to 0."""
+    from mp2_tpu.circuit.gadgets.curve import map_to_curve_point_circuit
+
+    bh = b.add_inputs(8)
+    ph = b.add_inputs(8)
+    bn = b.add_input()
+    dv_in = b.add_inputs(11)
+    dm_in = b.add_inputs(11)
+    n = b.add_input()
+    dv = curve_from_pi_targets(b, dv_in)
+    dm = curve_from_pi_targets(b, dm_in)
+    prefix = [b.constant(v) for v in DUMMY_METADATA_DIGEST_PREFIX]
+    enc = map_to_curve_point_circuit(b, prefix + curve_to_pi_targets(b, dm))
+    b.register_public_inputs(
+        list(bh)
+        + list(ph)
+        + [bn]
+        + curve_to_pi_targets(b, dv)
+        + curve_to_pi_targets(b, enc)
+        + [n]
+    )
+
+    def assign(inputs: Dict, block_hash_fields, prev_hash_fields,
+               block_number: int, row_digest, metadata_digest, n_rows: int):
+        for t, v in zip(bh, block_hash_fields):
+            inputs[t] = int(v)
+        for t, v in zip(ph, prev_hash_fields):
+            inputs[t] = int(v)
+        inputs[bn] = int(block_number)
+        for t, v in zip(dv_in, row_digest.to_fields()):
+            inputs[t] = int(v)
+        for t, v in zip(dm_in, metadata_digest.to_fields()):
+            inputs[t] = int(v)
+        inputs[n] = int(n_rows)
+
+    return assign
+
 
 def final_base_body(
     b: CircuitBuilder, block_pis, contract_pis, values_pis, length_pis=None
@@ -828,13 +882,21 @@ class FinalExtractionCircuits:
         config: Optional[CircuitConfig] = None,
         length: Optional[LengthExtractionCircuits] = None,
         merge: bool = False,
+        no_provable: bool = False,
     ):
         """`length`: also builds a `final_lengthed` member verifying a
         length-extraction proof and enforcing N == length
         (lengthed_circuit.rs).  `merge`: also builds a `final_merge`
-        member combining TWO values-set proofs (merge_circuit.rs)."""
+        member combining TWO values-set proofs (merge_circuit.rs).
+        `no_provable`: also builds the `final_no_provable` dummy member for
+        off-chain data (dummy_circuit.rs)."""
         cfg = config or test_config()
-        n_members = 1 + (1 if length is not None else 0) + (1 if merge else 0)
+        n_members = (
+            1
+            + (1 if length is not None else 0)
+            + (1 if merge else 0)
+            + (1 if no_provable else 0)
+        )
         self.fw = RecursionFramework(
             cfg, EXT_W, set_height=1 if n_members <= 2 else 2
         )
@@ -880,6 +942,10 @@ class FinalExtractionCircuits:
             self.fw.add_aggregation_circuit(
                 "final_merge", 0, _pad_build(build_merge),
                 foreign=[block_fw.fw, contract.fw, values.fw, values.fw],
+            )
+        if no_provable:
+            self.fw.add_leaf_circuit(
+                "final_no_provable", _pad_build(build_no_provable_body)
             )
         self.fw.finalize()
 
@@ -947,6 +1013,33 @@ class FinalExtractionCircuits:
             foreign_children=[
                 block_env, contract_env, table_a_env, table_b_env,
             ],
+        )
+        return env, pis
+
+    def prove_no_provable(
+        self,
+        block_hash_fields,
+        prev_hash_fields,
+        block_number: int,
+        row_digest,
+        metadata_digest,
+        n_rows: int,
+    ):
+        """Dummy proof for off-chain (non-provable) data; the exposed DM is
+        D(DUMMY_EXTRACTION || metadata_digest)."""
+        pis = _pad_vals(
+            [int(x) for x in block_hash_fields]
+            + [int(x) for x in prev_hash_fields]
+            + [int(block_number)]
+            + row_digest.to_fields()
+            + no_provable_metadata_digest(metadata_digest).to_fields()
+            + [int(n_rows)]
+        )
+        env = self.fw.prove_leaf(
+            "final_no_provable",
+            (block_hash_fields, prev_hash_fields, block_number, row_digest,
+             metadata_digest, n_rows),
+            pis,
         )
         return env, pis
 

@@ -71,13 +71,25 @@ def _block_header(state_root: bytes, number: int, parent: bytes) -> bytes:
 def world():
     """Storage trie under ADDR's account inside a 2-account state trie,
     referenced by a block header."""
-    value_id = V.identifier_for_value_column(SLOT, 0, 256, 0, ADDR, CHAIN_ID)
-    table = [simple_column(SLOT, value_id)]
+    from mp2_tpu.extraction.columns import ColumnInfo
+
+    # struct slot spanning 3 EVM words: one full-word column per word
+    table = [
+        ColumnInfo(
+            slot=SLOT,
+            identifier=V.identifier_for_value_column(
+                SLOT, 0, 256, w, ADDR, CHAIN_ID
+            ),
+            byte_offset=0, bit_offset=0, length=256, evm_word=w,
+        )
+        for w in range(3)
+    ]
+    value_id = table[0].identifier
     storage = MPT(secure=True)
     entries = {}
-    for k in (1, 2, 3):
-        loc = SK.simple_slot_location(SLOT, evm_word=k - 1)
-        val = 10**18 + k
+    for w in range(3):
+        loc = SK.simple_slot_location(SLOT, evm_word=w)
+        val = 10**18 + w + 1
         storage.insert(loc, rlp.encode_int(val))
         entries[loc] = val
 
@@ -266,19 +278,20 @@ def test_final_extraction_recursive_chain(world):
     locs = list(entries)
     proofs = {loc: storage.get_proof(loc) for loc in locs}
     root_node = proofs[locs[0]][0]
-    bodies, keys = [], []
+    bodies, keys, words = [], [], []
     for loc in locs:
         pr = proofs[loc]
         if len(pr) == 2 and pr[0] == root_node:
             bodies.append(pr[1])
             keys.append(knibs(loc))
+            words.append(int.from_bytes(loc, "big") - SLOT)
     assert len(bodies) >= 2, "fixture must share the root branch"
-    bodies, keys = bodies[:2], keys[:2]
+    bodies, keys, words = bodies[:2], keys[:2], words[:2]
 
     vx = ValuesExtractionCircuits(table, value_id)
     envs, pis = [], []
-    for body, kn in zip(bodies, keys):
-        env, piv = vx.prove_leaf(body, kn)
+    for body, kn, wd in zip(bodies, keys, words):
+        env, piv = vx.prove_leaf(body, kn, wd)
         envs.append(env)
         pis.append(piv)
     branch_items = rlp.decode(root_node)
@@ -712,7 +725,7 @@ def test_final_lengthed_recursive_chain(world):
     # fresh storage trie: 2 value leaves under the root + the length slot
     # holding the row count (= 2)
     storage = MPT(secure=True)
-    locs = [SK.simple_slot_location(SLOT, evm_word=w) for w in range(4)]
+    locs = [SK.simple_slot_location(SLOT, evm_word=w) for w in range(3)]
     for i, loc in enumerate(locs):
         storage.insert(loc, rlp.encode_int(10**18 + i))
     storage.insert(SK.simple_slot_location(length_slot), rlp.encode_int(2))
@@ -727,7 +740,8 @@ def test_final_lengthed_recursive_chain(world):
     vx = ValuesExtractionCircuits(table, value_id)
     envs, pis = [], []
     for loc in picked:
-        env, piv = vx.prove_leaf(proofs[loc][-1], knibs(loc))
+        wd = int.from_bytes(loc, "big") - SLOT
+        env, piv = vx.prove_leaf(proofs[loc][-1], knibs(loc), wd)
         envs.append(env)
         pis.append(piv)
     branch_items = rlp.decode(root_node)
@@ -762,3 +776,41 @@ def test_final_lengthed_recursive_chain(world):
     )
     assert fx.verify(env)
     assert final_pis[F_N] == 2 and final_pis[F_BN] == 900
+
+
+def test_final_no_provable_body():
+    """Dummy (off-chain data) variant: witnessed digests, DM re-encoded as
+    D(DUMMY_EXTRACTION || DM) in-circuit so it can never collide with a
+    provable extraction digest (dummy_circuit.rs:80-135)."""
+    from mp2_tpu.extraction.final_circuits import (
+        build_no_provable_body,
+        no_provable_metadata_digest,
+    )
+
+    bh = pack_bytes_be(keccak256(b"offchain-commitment"))
+    ph = pack_bytes_be(keccak256(b"offchain-prev"))
+    dv = p2h.map_to_curve_point([5, 6, 7])
+    dm = p2h.map_to_curve_point([8, 9])
+
+    b = CircuitBuilder(test_config())
+    assign = build_no_provable_body(b)
+    data = b.build()
+    inputs = {}
+    assign(inputs, bh, ph, 555, dv, dm, 4)
+    want = (
+        list(bh) + list(ph) + [555]
+        + dv.to_fields()
+        + no_provable_metadata_digest(dm).to_fields()
+        + [4]
+    )
+    w = data.generate_witness(inputs)
+    data.check_witness(w, want)
+
+    # exposing the RAW metadata digest (no prefix) must fail: a dummy proof
+    # cannot claim a provable table's DM
+    bad = (
+        list(bh) + list(ph) + [555]
+        + dv.to_fields() + dm.to_fields() + [4]
+    )
+    with pytest.raises(AssertionError):
+        data.check_witness(w, bad)
