@@ -46,11 +46,13 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from mp2_tpu.circuit.builder import CircuitBuilder, Target
+from mp2_tpu.circuit.gadgets.bytes import small_lt
 from mp2_tpu.circuit.gadgets.u256 import (
     U256Target,
     add_virtual_u256,
     set_u256,
     u256_add,
+    u256_equal,
     u256_less_than,
     u256_lte,
     u256_select,
@@ -107,6 +109,8 @@ class _RowPis:
     outputs: List[U256Target]
     index_root: Optional[List[Target]] = None
     boundary: Optional[BoundaryRowTargets] = None
+    primary: Optional[U256Target] = None
+    secondary: Optional[U256Target] = None
 
     @staticmethod
     def parse(p, pis, bind=False):
@@ -126,6 +130,8 @@ class _RowPis:
             r.boundary = BoundaryRowTargets.from_targets(
                 pis[base + 4 : base + 4 + BOUNDARY_ROW_LEN]
             )
+            r.primary = _u256_at(pis, base + 4 + BOUNDARY_ROW_LEN)
+            r.secondary = _u256_at(pis, base + 12 + BOUNDARY_ROW_LEN)
         return r
 
 
@@ -366,23 +372,7 @@ def build_revelation(b, p, W, bind, chunk_uv, ivc_uv):
         block_root = [b.zero()] * 4
     assign = None
     if bind:
-        npl = p.num_placeholders
-        ph_name_hs = b.add_inputs(npl)
-        ph_values = [add_virtual_u256(b) for _ in range(npl)]
-        ph_active = []
-        for _ in range(npl):
-            t = b.add_input()
-            b.connect(b.mul(t, t), t)
-            ph_active.append(t)
-        bound_min = add_virtual_u256(b)
-        bound_max = add_virtual_u256(b)
-        ph_inputs: List[Target] = (
-            list(bound_min.limbs) + list(bound_max.limbs)
-        )
-        for nh, pv, act in zip(ph_name_hs, ph_values, ph_active):
-            ph_inputs.append(b.mul(act, nh))
-            ph_inputs.extend(b.mul(act, lm) for lm in pv.limbs)
-        ph_hash = b.hash_no_pad(ph_inputs)
+        ph_hash, bound_min, bound_max, assign = _placeholder_check(b, p)
         _connect_lists(b, ph_hash, c.ph)
         _connect_lists(b, c.min_p.limbs, bound_min.limbs)
         _connect_lists(b, c.max_p.limbs, bound_max.limbs)
@@ -397,22 +387,6 @@ def build_revelation(b, p, W, bind, chunk_uv, ivc_uv):
         # the proven rows live in the committed block tree
         if ivc_uv is not None:
             _connect_lists(b, c.index_root, block_root)
-
-        def assign(inputs, names, placeholders, bounds):
-            name_h = {
-                n: p2h.hash_no_pad([ord(ch) for ch in n])[0] for n in names
-            }
-            for k in range(npl):
-                if k < len(names):
-                    inputs[ph_name_hs[k]] = name_h[names[k]]
-                    set_u256(inputs, ph_values[k], placeholders.get(names[k]))
-                    inputs[ph_active[k]] = 1
-                else:
-                    inputs[ph_name_hs[k]] = 0
-                    set_u256(inputs, ph_values[k], 0)
-                    inputs[ph_active[k]] = 0
-            set_u256(inputs, bound_min, bounds.min_block)
-            set_u256(inputs, bound_max, bounds.max_block)
 
     count = c.count
     count_u = U256Target(tuple([b.zero()] * 7 + [count]))
@@ -430,6 +404,153 @@ def build_revelation(b, p, W, bind, chunk_uv, ivc_uv):
     )
     pis += [b.zero()] * (W - len(pis))
     b.register_public_inputs(pis)
+    return assign
+
+
+def _placeholder_check(b, p):
+    """placeholders_check.rs CheckPlaceholderGadget: recompute the
+    placeholder hash from witnessed (name-hash, value, active) triples
+    prefixed by the primary query bounds.  Returns (hash targets, bound
+    u256 targets, assign closure)."""
+    npl = p.num_placeholders
+    ph_name_hs = b.add_inputs(npl)
+    ph_values = [add_virtual_u256(b) for _ in range(npl)]
+    ph_active = []
+    for _ in range(npl):
+        t = b.add_input()
+        b.connect(b.mul(t, t), t)
+        ph_active.append(t)
+    bound_min = add_virtual_u256(b)
+    bound_max = add_virtual_u256(b)
+    ph_inputs: List[Target] = list(bound_min.limbs) + list(bound_max.limbs)
+    for nh, pv, act in zip(ph_name_hs, ph_values, ph_active):
+        ph_inputs.append(b.mul(act, nh))
+        ph_inputs.extend(b.mul(act, lm) for lm in pv.limbs)
+    ph_hash = b.hash_no_pad(ph_inputs)
+
+    def assign(inputs, names, placeholders, bounds):
+        name_h = {
+            n: p2h.hash_no_pad([ord(ch) for ch in n])[0] for n in names
+        }
+        for k in range(npl):
+            if k < len(names):
+                inputs[ph_name_hs[k]] = name_h[names[k]]
+                set_u256(inputs, ph_values[k], placeholders.get(names[k]))
+                inputs[ph_active[k]] = 1
+            else:
+                inputs[ph_name_hs[k]] = 0
+                set_u256(inputs, ph_values[k], 0)
+                inputs[ph_active[k]] = 0
+        set_u256(inputs, bound_min, bounds.min_block)
+        set_u256(inputs, bound_max, bounds.max_block)
+
+    return ph_hash, bound_min, bound_max, assign
+
+
+def _lex_lt_u256_arr(b, xs, ys) -> Target:
+    """Strict lexicographic xs < ys over equal-length U256 tuples (the
+    is_less_than_or_equal_to_u256_arr role, u256.rs:899)."""
+    lt = b.zero()
+    eq = b.one()
+    for x, y in zip(xs, ys):
+        lt = b.add(lt, b.mul(eq, u256_less_than(b, x, y)))
+        eq = b.mul(eq, u256_equal(b, x, y))
+    return lt
+
+
+def build_row_dummy(b, p, W):
+    """Padding member of the ROW set for the tabular revelation (the
+    reference's generate_dummy_row_proof_inputs role,
+    revelation_unproven_offset.rs:649): the matching flag is pinned to 0,
+    so the revelation's per-row checks are all vacuous; the query hashes
+    are witnessed so the dummy can agree with the real rows' query."""
+    comp = b.add_inputs(4)
+    ph = b.add_inputs(4)
+    pis = list(comp) + list(ph)
+    pis += [b.zero()] * (W - len(pis))
+    b.register_public_inputs(pis)
+
+    def assign(inputs, comp_vals, ph_vals):
+        for t, v in zip(comp, comp_vals):
+            inputs[t] = int(v)
+        for t, v in zip(ph, ph_vals):
+            inputs[t] = int(v)
+
+    return assign
+
+
+def build_revelation_tabular(b, p, W, row_uvs, ivc_uv):
+    """Tabular revelation (revelation_unproven_offset.rs): verifies up to
+    L row proofs INDIVIDUALLY — no consecutive-rows argument, so the
+    prover may CENSOR results (the unproven OFFSET) but cannot fake them:
+
+      * matching rows occupy the initial slots (monotone flag chain);
+      * every row ran the same query (equal computational/placeholder
+        hashes) and every matching row lives in the committed block tree
+        (index root == IVC root) with its primary index inside the
+        recomputed query bounds;
+      * DISTINCT: consecutive matching results strictly increasing
+        lexicographically (which also forces them pairwise distinct);
+      * num_results <= LIMIT.
+
+    PIs: comp(4) | ph(4) | block_root(4) | num_results | limit | offset |
+         distinct | L x num_outputs results (8 limbs each) | zero pad."""
+    rows = [_RowPis.parse(p, uv.public_inputs(), bind=True) for uv in row_uvs]
+    if ivc_uv is not None:
+        block_root = list(ivc_uv.public_inputs()[0:4])
+    else:
+        block_root = [b.zero()] * 4
+    r0 = rows[0]
+    distinct = b.add_input()
+    b.connect(b.mul(distinct, distinct), distinct)
+    limit = b.add_input()
+    offset = b.add_input()
+    ph_hash, bound_min, bound_max, assign_ph = _placeholder_check(b, p)
+    _connect_lists(b, ph_hash, r0.ph)
+
+    only_matching = b.one()
+    num_results = b.zero()
+    prev = None
+    for r in rows:
+        is_m = r.pred
+        # once a non-matching slot appears, all later slots are non-matching
+        only_matching = b.mul(only_matching, is_m)
+        b.connect(only_matching, is_m)
+        num_results = b.add(num_results, is_m)
+        _connect_lists(b, r.comp, r0.comp)
+        _connect_lists(b, r.ph, r0.ph)
+        for x, y in zip(r.index_root, block_root):
+            b.connect(b.mul(is_m, b.sub(x, y)), b.zero())
+        in_range = b.logic_and(
+            u256_lte(b, bound_min, r.primary),
+            u256_lte(b, r.primary, bound_max),
+        )
+        b.connect(b.mul(is_m, in_range), is_m)
+        if prev is not None:
+            lt = _lex_lt_u256_arr(b, prev.outputs, r.outputs)
+            must = b.mul(is_m, distinct)
+            b.connect(b.mul(must, lt), must)
+        prev = r
+    # num_results <= limit (both small scalars)
+    b.connect(small_lt(b, limit, num_results), b.zero())
+
+    pis = (
+        list(r0.comp) + list(r0.ph) + block_root
+        + [num_results, limit, offset, distinct]
+    )
+    for r in rows:
+        for o in r.outputs:
+            pis += list(o.limbs)
+    pis += [b.zero()] * (W - len(pis))
+    b.register_public_inputs(pis)
+
+    def assign(inputs, names, placeholders, bounds, distinct_v, limit_v,
+               offset_v):
+        assign_ph(inputs, names, placeholders, bounds)
+        inputs[distinct] = 1 if distinct_v else 0
+        inputs[limit] = int(limit_v)
+        inputs[offset] = int(offset_v)
+
     return assign
 
 
@@ -561,6 +682,10 @@ def build_tree_bound_row(
     extra = list(index_path.root) + (
         row_path.node.to_targets() + index_path.node.to_targets()
     )
+    # index-column values (primary = block, secondary) after the boundary:
+    # the tabular revelation range-checks matching rows against the query
+    # bounds (revelation_unproven_offset.rs verifies them per row proof)
+    extra += list(cols[0].limbs) + list(cols[1].limbs)
     if pad_to is not None:
         extra += [b.zero()] * (pad_to - _row_base_width(params) - len(extra))
     b.register_public_inputs(extra)
@@ -612,6 +737,7 @@ class QueryCircuits:
         ivc_framework: Optional[RecursionFramework] = None,
         row_tree_depth: int = 0,
         index_tree_depth: int = 0,
+        tabular_rows: int = 0,
     ):
         self.config = config
         self.params = params
@@ -619,6 +745,7 @@ class QueryCircuits:
         self.bind = row_tree_depth > 0
         self.row_tree_depth = row_tree_depth
         self.index_tree_depth = index_tree_depth
+        self.tabular_rows = tabular_rows
         W = _pi_width(params, self.bind)
         self.W = W
         bind = self.bind
@@ -637,6 +764,11 @@ class QueryCircuits:
             )
 
         self.row.add_leaf_circuit("row", row_build)
+        if tabular_rows:
+            assert bind, "tabular revelation requires tree-bound mode"
+            self.row.add_leaf_circuit(
+                "row_dummy", lambda b: build_row_dummy(b, params, W)
+            )
         self.row.finalize()
 
         # --- chunk set
@@ -680,6 +812,20 @@ class QueryCircuits:
         self.revelation.add_aggregation_circuit(
             "revelation", 0, reveal_build, foreign=foreign
         )
+        if tabular_rows:
+            tab_foreign = [self.row] * tabular_rows + (
+                [ivc_framework] if ivc_framework else []
+            )
+
+            def reveal_tab_build(b, children, foreign_uvs):
+                return build_revelation_tabular(
+                    b, p, W, foreign_uvs[:tabular_rows],
+                    foreign_uvs[tabular_rows] if ivc_framework else None,
+                )
+
+            self.revelation.add_aggregation_circuit(
+                "revelation_tabular", 0, reveal_tab_build, foreign=tab_foreign
+            )
         self.revelation.finalize()
 
     # ---------------------------------------------------------------- prove
@@ -705,9 +851,13 @@ class QueryCircuits:
             pis, column_ids, row, placeholders, bounds
         )
         if self.bind:
-            vals = list(vals) + [
-                int(v) for v in binding.index_w["root"]
-            ] + binding.boundary_fields()
+            vals = (
+                list(vals)
+                + [int(v) for v in binding.index_w["root"]]
+                + binding.boundary_fields()
+                + u256_to_fields(row[0])
+                + u256_to_fields(row[1])
+            )
         return list(vals) + [0] * (self.W - len(vals))
 
     def _query_bounds4(self, bounds) -> Tuple[int, int, int, int]:
@@ -959,6 +1109,75 @@ class QueryCircuits:
             "revelation", [],
             (pis.placeholder_names, placeholders, bounds), reveal_piv,
             foreign_children=foreign_children,
+        )
+        return env, reveal_piv
+
+    def prove_query_tabular(
+        self, pis, column_ids, rows, placeholders, bounds, ivc_env=None,
+        bindings: Optional[List[RowBinding]] = None,
+    ) -> Tuple[WrappedEnvelope, List[int]]:
+        """Tabular SELECT (no aggregation) through the unproven-offset
+        revelation (revelation_unproven_offset.rs): `rows` are the source
+        rows of the REVEALED results — already ordered (ascending result
+        tuples when DISTINCT), offset-skipped and limit-truncated by the
+        host; the circuit proves each revealed result is a true query
+        result over the committed tree, not that the selection is
+        complete.  Returns (revelation envelope, its user PIs)."""
+        from mp2_tpu.vdb.query.universal import UniversalQueryCircuit
+
+        L = self.tabular_rows
+        assert L > 0, "QueryCircuits built without tabular_rows"
+        assert len(rows) <= L, f"more than {L} revealed rows"
+        assert bindings is not None and len(bindings) == len(rows)
+        p = self.params
+        W = self.W
+        no = p.num_outputs
+
+        row_envs = []
+        row_pivs = []
+        for r, bi in zip(rows, bindings):
+            row_envs.append(
+                self.prove_row(pis, column_ids, r, placeholders, bounds, bi)
+            )
+            piv = self._row_pis(pis, column_ids, r, placeholders, bounds, bi)
+            assert piv[12] == 1, "revealed row does not match the predicate"
+            row_pivs.append(piv)
+
+        if row_pivs:
+            comp_vals, ph_vals = row_pivs[0][0:4], row_pivs[0][4:8]
+        else:
+            uc = UniversalQueryCircuit(params=p, data=None, assign=None)
+            dummy = uc.expected_public_inputs(
+                pis, column_ids, [0] * p.num_columns, placeholders, bounds
+            )
+            comp_vals, ph_vals = dummy[0:4], dummy[4:8]
+        if len(rows) < L:
+            dummy_piv = list(comp_vals) + list(ph_vals)
+            dummy_piv += [0] * (W - len(dummy_piv))
+            dummy_env = self.row.prove_leaf(
+                "row_dummy", (comp_vals, ph_vals), dummy_piv
+            )
+            while len(row_envs) < L:
+                row_envs.append(dummy_env)
+                row_pivs.append(dummy_piv)
+
+        limit_v = pis.limit if pis.limit is not None else L
+        offset_v = pis.offset or 0
+        distinct_v = bool(pis.result.distinct)
+        block_root = list(ivc_env.user_inputs[0:4]) if ivc_env else [0] * 4
+        reveal_piv = (
+            list(comp_vals) + list(ph_vals) + block_root
+            + [len(rows), limit_v, offset_v, int(distinct_v)]
+        )
+        for piv in row_pivs:
+            reveal_piv += piv[14 + no : 14 + no + 8 * no]
+        reveal_piv += [0] * (W - len(reveal_piv))
+        env = self.revelation.prove_aggregation(
+            "revelation_tabular", [],
+            (pis.placeholder_names, placeholders, bounds, distinct_v,
+             limit_v, offset_v),
+            reveal_piv,
+            foreign_children=row_envs + ([ivc_env] if ivc_env else []),
         )
         return env, reveal_piv
 

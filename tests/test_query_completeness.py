@@ -130,6 +130,8 @@ def test_bound_row_circuit_matches_host():
     data = b.build()
     host = UniversalQueryCircuit(params=PARAMS, data=None, assign=None)
 
+    from mp2_tpu.utils.u256 import u256_to_fields
+
     for row, binding in all_rows_in_order(BLOCKS, rows_db, block_db, epoch_of):
         inputs = {}
         assign(inputs, pis, COLUMN_IDS, row, ph, bounds, binding)
@@ -137,6 +139,8 @@ def test_bound_row_circuit_matches_host():
             list(host.expected_public_inputs(pis, COLUMN_IDS, row, ph, bounds))
             + [int(v) for v in binding.index_w["root"]]
             + binding.boundary_fields()
+            + u256_to_fields(row[0])
+            + u256_to_fields(row[1])
         )
         w = data.generate_witness(inputs)
         data.check_witness(w, expected)
@@ -155,6 +159,8 @@ def test_bound_row_circuit_rejects_forged_value():
     data = b.build()
     host = UniversalQueryCircuit(params=PARAMS, data=None, assign=None)
 
+    from mp2_tpu.utils.u256 import u256_to_fields
+
     (row, binding) = all_rows_in_order(BLOCKS, rows_db, block_db, epoch_of)[0]
     forged = [row[0], row[1], row[2] + 5]
     inputs = {}
@@ -163,6 +169,8 @@ def test_bound_row_circuit_rejects_forged_value():
         list(host.expected_public_inputs(pis, COLUMN_IDS, forged, ph, bounds))
         + [int(v) for v in binding.index_w["root"]]
         + binding.boundary_fields()
+        + u256_to_fields(forged[0])
+        + u256_to_fields(forged[1])
     )
     w = data.generate_witness(inputs)
     with pytest.raises(AssertionError):
@@ -181,11 +189,11 @@ class _Stub:
             inputs[t] = int(v)
 
 
-def _fixture():
+def _fixture(sql=SQL):
     from mp2_tpu.vdb.query.chunks import _pi_width
 
     rows_db, block_db, epoch_of = make_db(BLOCKS)
-    pis = parse_and_assemble(SQL, TABLE)
+    pis = parse_and_assemble(sql, TABLE)
     ph = Placeholders({"$MIN_BLOCK": 100, "$MAX_BLOCK": 101})
     bounds = QueryBounds(100, 101)
     pairs = all_rows_in_order(BLOCKS, rows_db, block_db, epoch_of)
@@ -193,10 +201,13 @@ def _fixture():
     host = UniversalQueryCircuit(params=PARAMS, data=None, assign=None)
 
     def row_piv(row, bi):
+        from mp2_tpu.utils.u256 import u256_to_fields
+
         vals = list(
             host.expected_public_inputs(pis, COLUMN_IDS, row, ph, bounds)
         )
         vals += [int(v) for v in bi.index_w["root"]] + bi.boundary_fields()
+        vals += u256_to_fields(row[0]) + u256_to_fields(row[1])
         return vals + [0] * (W - len(vals))
 
     return pis, ph, bounds, pairs, W, row_piv
@@ -444,3 +455,207 @@ def test_non_existence_body():
     with pytest.raises((ValueError, AssertionError)):
         w = data.generate_witness(inputs)
         data.check_witness(w, bad)
+
+
+# ------------------------------------------------------- tabular revelation
+
+TAB_SQL = (
+    "SELECT DISTINCT value, key FROM t WHERE block >= $MIN_BLOCK "
+    "AND block <= $MAX_BLOCK LIMIT 3"
+)
+
+
+def _tabular_setup():
+    from mp2_tpu.vdb.query.chunks import build_revelation_tabular
+
+    pis, ph, bounds, pairs, W, row_piv = _fixture(TAB_SQL)
+    b = CircuitBuilder(test_config())
+    stubs = [_Stub(b, W) for _ in range(3)]
+    sivc = _Stub(b, 9)
+    assign = build_revelation_tabular(b, PARAMS, W, stubs, sivc)
+    data = b.build()
+    return pis, ph, bounds, pairs, W, row_piv, stubs, sivc, assign, data
+
+
+def _reveal_tab_piv(pvs, n, W, block_root, limit=3, offset=0, distinct=1):
+    vals = (
+        list(pvs[0][0:8]) + list(block_root)
+        + [n, limit, offset, distinct]
+    )
+    for pv in pvs:
+        vals += list(pv[16:32])
+    return vals + [0] * (W - len(vals))
+
+
+def test_revelation_tabular_body():
+    """Tabular revelation: per-row membership + bounds + DISTINCT ordering
+    + LIMIT, results exposed (revelation_unproven_offset.rs)."""
+    from mp2_tpu.vdb.query.chunks import _row_base_width
+
+    pis, ph, bounds, pairs, W, row_piv, stubs, sivc, assign, data = (
+        _tabular_setup()
+    )
+    base = _row_base_width(PARAMS)
+    # revealed rows in ascending (value, key) order: (10,7) (30,9) (99,8)
+    sel = [pairs[0], pairs[3], pairs[1]]
+    pvs = [row_piv(r, bi) for r, bi in sel]
+    assert all(pv[12] == 1 for pv in pvs)
+    root = list(pvs[0][base : base + 4])
+    ivc_piv = root + [0] * 5
+
+    inputs = {}
+    for s, pv in zip(stubs, pvs):
+        s.assign(inputs, pv)
+    sivc.assign(inputs, ivc_piv)
+    assign(inputs, pis.placeholder_names, ph, bounds, True, 3, 0)
+    w = data.generate_witness(inputs)
+    data.check_witness(w, _reveal_tab_piv(pvs, 3, W, root))
+
+
+def test_revelation_tabular_rejects_unordered_distinct():
+    """DISTINCT results out of ascending order must be rejected."""
+    from mp2_tpu.vdb.query.chunks import _row_base_width
+
+    pis, ph, bounds, pairs, W, row_piv, stubs, sivc, assign, data = (
+        _tabular_setup()
+    )
+    base = _row_base_width(PARAMS)
+    sel = [pairs[1], pairs[0], pairs[3]]  # (99,8) before (10,7): unordered
+    pvs = [row_piv(r, bi) for r, bi in sel]
+    root = list(pvs[0][base : base + 4])
+    inputs = {}
+    for s, pv in zip(stubs, pvs):
+        s.assign(inputs, pv)
+    sivc.assign(inputs, root + [0] * 5)
+    assign(inputs, pis.placeholder_names, ph, bounds, True, 3, 0)
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        data.check_witness(w, _reveal_tab_piv(pvs, 3, W, root))
+
+
+def test_revelation_tabular_rejects_out_of_bounds_primary():
+    """A matching row whose primary index lies outside the recomputed
+    query bounds must be rejected."""
+    from mp2_tpu.utils.u256 import u256_to_fields
+    from mp2_tpu.vdb.query.chunks import BOUNDARY_ROW_LEN, _row_base_width
+
+    pis, ph, bounds, pairs, W, row_piv, stubs, sivc, assign, data = (
+        _tabular_setup()
+    )
+    base = _row_base_width(PARAMS)
+    sel = [pairs[0], pairs[3], pairs[1]]
+    pvs = [row_piv(r, bi) for r, bi in sel]
+    root = list(pvs[0][base : base + 4])
+    # tamper the second row's exposed primary-index value to 999
+    off = base + 4 + BOUNDARY_ROW_LEN
+    pvs[1] = list(pvs[1])
+    pvs[1][off : off + 8] = u256_to_fields(999)
+    inputs = {}
+    for s, pv in zip(stubs, pvs):
+        s.assign(inputs, pv)
+    sivc.assign(inputs, root + [0] * 5)
+    assign(inputs, pis.placeholder_names, ph, bounds, True, 3, 0)
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        data.check_witness(w, _reveal_tab_piv(pvs, 3, W, root))
+
+
+def test_revelation_tabular_rejects_matching_after_dummy():
+    """Monotone flag chain: a matching row after a non-matching slot is
+    rejected (required for DISTINCT soundness)."""
+    from mp2_tpu.vdb.query.chunks import _row_base_width
+
+    pis, ph, bounds, pairs, W, row_piv, stubs, sivc, assign, data = (
+        _tabular_setup()
+    )
+    base = _row_base_width(PARAMS)
+    pvs = [row_piv(r, bi) for r, bi in [pairs[0], pairs[3], pairs[1]]]
+    root = list(pvs[0][base : base + 4])
+    dummy = list(pvs[0][0:8]) + [0] * (W - 8)
+    seq = [pvs[0], dummy, pvs[1]]  # dummy in the middle
+    inputs = {}
+    for s, pv in zip(stubs, seq):
+        s.assign(inputs, pv)
+    sivc.assign(inputs, root + [0] * 5)
+    assign(inputs, pis.placeholder_names, ph, bounds, True, 3, 0)
+    with pytest.raises((ValueError, AssertionError)):
+        w = data.generate_witness(inputs)
+        data.check_witness(w, _reveal_tab_piv(seq, 2, W, root))
+
+
+def test_revelation_tabular_with_dummy_padding():
+    """Fewer results than slots: trailing dummy (pred=0) slots accepted,
+    num_results counts only the real ones."""
+    from mp2_tpu.vdb.query.chunks import _row_base_width
+
+    pis, ph, bounds, pairs, W, row_piv, stubs, sivc, assign, data = (
+        _tabular_setup()
+    )
+    base = _row_base_width(PARAMS)
+    pvs = [row_piv(r, bi) for r, bi in [pairs[0], pairs[3]]]
+    root = list(pvs[0][base : base + 4])
+    dummy = list(pvs[0][0:8]) + [0] * (W - 8)
+    seq = pvs + [dummy]
+    inputs = {}
+    for s, pv in zip(stubs, seq):
+        s.assign(inputs, pv)
+    sivc.assign(inputs, root + [0] * 5)
+    assign(inputs, pis.placeholder_names, ph, bounds, True, 3, 0)
+    w = data.generate_witness(inputs)
+    data.check_witness(w, _reveal_tab_piv(seq, 2, W, root))
+
+
+@slow
+def test_tabular_query_stack_end_to_end():
+    """Tabular SELECT through the unproven-offset revelation: each revealed
+    row proven individually over the committed trees, DISTINCT ordering
+    enforced, dummy padding for unused slots."""
+    from mp2_tpu.vdb.query.chunks import QueryCircuits
+
+    rows_db, block_db, epoch_of = make_db(BLOCKS)
+    qc = QueryCircuits(
+        test_config(), PARAMS, row_tree_depth=4, index_tree_depth=4,
+        tabular_rows=3,
+    )
+    pis = parse_and_assemble(TAB_SQL, TABLE)
+    ph = Placeholders({"$MIN_BLOCK": 100, "$MAX_BLOCK": 101})
+    bounds = QueryBounds(100, 101)
+
+    pairs = all_rows_in_order(BLOCKS, rows_db, block_db, epoch_of)
+    # DISTINCT (value, key) ascending: (10,7) (30,9) (99,8)
+    sel = [pairs[0], pairs[3], pairs[1]]
+    env, reveal = qc.prove_query_tabular(
+        pis, COLUMN_IDS, [r for r, _ in sel], ph, bounds,
+        bindings=[bi for _, bi in sel],
+    )
+    assert qc.verify(env)
+    assert reveal[12] == 3  # num_results
+    assert reveal[15] == 1  # distinct flag
+
+    def u256_of(limbs):
+        v = 0
+        for l in limbs:
+            v = (v << 32) | int(l)
+        return v
+
+    got = [
+        (u256_of(reveal[16 + 16 * i : 24 + 16 * i]),
+         u256_of(reveal[24 + 16 * i : 32 + 16 * i]))
+        for i in range(3)
+    ]
+    assert got == [(10, 7), (30, 9), (99, 8)]
+
+    # fewer results than slots: dummy padding
+    env2, reveal2 = qc.prove_query_tabular(
+        pis, COLUMN_IDS, [sel[0][0]], ph, bounds, bindings=[sel[0][1]],
+    )
+    assert qc.verify(env2)
+    assert reveal2[12] == 1
+
+    # an unordered revealed set must not prove under DISTINCT
+    bad = [pairs[1], pairs[0]]
+    with pytest.raises((ValueError, AssertionError)):
+        qc.prove_query_tabular(
+            pis, COLUMN_IDS, [r for r, _ in bad], ph, bounds,
+            bindings=[bi for _, bi in bad],
+        )
