@@ -17,6 +17,7 @@ under enable_x64(False) like the Poseidon2 kernel.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -28,7 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 from mp2_tpu.ops import gl_u32 as K
 
 P = K.P
-TILE_R = 8
+# tile height (rows per grid step); larger tiles amortize twiddle loads and
+# grid overhead at the cost of VMEM (tile bytes = 2*TILE_R*n*4)
+TILE_R = int(os.environ.get("MP2_NTT_TILE_R", "8"))
 
 
 @lru_cache(maxsize=None)
