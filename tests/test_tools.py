@@ -38,3 +38,24 @@ def test_inspect_render():
     assert "size=1" in out0
     eps = describe_epochs(idx.rows_db)
     assert "epoch 0" in eps and "epoch 1" in eps
+
+
+def test_parsil_cli(capsys):
+    """The parsil debug CLI (parsil/src/main.rs role): plan + hash + SQL."""
+    from mp2_tpu.parsil.__main__ import main
+
+    rc = main([
+        "SELECT SUM(value), COUNT(*) FROM t WHERE block >= $MIN_BLOCK "
+        "AND block <= $MAX_BLOCK AND value >= 10"
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "aggregation" in out
+    assert "computational hash" in out
+    assert "SELECT SUM(" in out
+
+    rc = main(["SELECT value FROM t WHERE block = 5 LIMIT 3"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "tabular" in out and "LIMIT 3" in out
+
+    assert main(["SELECT nosuch FROM t"]) == 1
