@@ -154,3 +154,67 @@ def test_fixed_vk_two_leaf_aggregation():
     bad = copy.deepcopy(agg)
     bad.proof.public_inputs[0] = (bad.proof.public_inputs[0] + 1) % P
     assert not fw.verify(bad)
+
+
+@slow
+def test_fixed_vk_sixteen_leaf_aggregation():
+    """BASELINE config 3: SIXTEEN leaf proofs aggregated in a binary tree
+    (8 -> 4 -> 2 -> 1) under ONE fixed VK — every proof in the tree wraps
+    to the same standard shape, carries the same circuit-set digest, and
+    the root verifies with one host check."""
+    import time
+
+    from mp2_tpu.recursion.runtime import RecursionFramework
+
+    cfg = test_config()
+    fw = RecursionFramework(cfg, num_user_pis=4, set_height=2)
+
+    def leaf_build(b):
+        x = b.add_input()
+        h = b.hash_no_pad([x])
+        b.register_public_inputs(h)
+
+        def assign(inputs, xv):
+            inputs[x] = xv
+
+        return assign
+
+    def agg_build(b, children):
+        l = children[0].public_inputs()[:4]
+        r = children[1].public_inputs()[:4]
+        h = b.hash_no_pad(l + r)
+        b.register_public_inputs(h)
+        return None
+
+    fw.add_leaf_circuit("leaf", leaf_build)
+    fw.add_aggregation_circuit("node", 2, agg_build)
+    vk = fw.finalize()
+
+    t0 = time.perf_counter()
+    level = []
+    vals = []
+    for i in range(16):
+        h = list(p2h.hash_no_pad([i]))
+        level.append(fw.prove_leaf("leaf", (i,), h))
+        vals.append(h)
+    n_proofs = 16
+    while len(level) > 1:
+        nxt, nvals = [], []
+        for j in range(0, len(level), 2):
+            hv = list(p2h.hash_no_pad(vals[j] + vals[j + 1]))
+            nxt.append(
+                fw.prove_aggregation("node", [level[j], level[j + 1]], (), hv)
+            )
+            nvals.append(hv)
+            n_proofs += 1
+        level, vals = nxt, nvals
+    dt = time.perf_counter() - t0
+
+    root = level[0]
+    assert fw.verify(root)
+    # the fixed-VK property: every proof in the tree has the SAME shape and
+    # trailing circuit-set digest
+    assert tuple(root.proof.public_inputs[-4:]) == vk
+    assert root.user_inputs[:4] == vals[0]
+    print(f"aggregated 16 leaves -> 1 root: {n_proofs} proofs in {dt:.1f}s "
+          f"({n_proofs / dt:.2f} proofs/s)")
