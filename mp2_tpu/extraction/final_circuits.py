@@ -883,14 +883,18 @@ class FinalExtractionCircuits:
         length: Optional[LengthExtractionCircuits] = None,
         merge: bool = False,
         no_provable: bool = False,
+        merge_with=None,
     ):
         """`length`: also builds a `final_lengthed` member verifying a
         length-extraction proof and enforcing N == length
         (lengthed_circuit.rs).  `merge`: also builds a `final_merge`
-        member combining TWO values-set proofs (merge_circuit.rs).
-        `no_provable`: also builds the `final_no_provable` dummy member for
-        off-chain data (dummy_circuit.rs)."""
+        member combining TWO values-set proofs (merge_circuit.rs) — table A
+        from `values`, table B from `merge_with` when given (e.g. a mapping
+        table merged with a single-slot multiplier table), else from
+        `values` too.  `no_provable`: also builds the `final_no_provable`
+        dummy member for off-chain data (dummy_circuit.rs)."""
         cfg = config or test_config()
+        merge = bool(merge or merge_with is not None)
         n_members = (
             1
             + (1 if length is not None else 0)
@@ -939,9 +943,10 @@ class FinalExtractionCircuits:
                     foreign[3].public_inputs(),
                 )
 
+            values_b = merge_with if merge_with is not None else values
             self.fw.add_aggregation_circuit(
                 "final_merge", 0, _pad_build(build_merge),
-                foreign=[block_fw.fw, contract.fw, values.fw, values.fw],
+                foreign=[block_fw.fw, contract.fw, values.fw, values_b.fw],
             )
         if no_provable:
             self.fw.add_leaf_circuit(

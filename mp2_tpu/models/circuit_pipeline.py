@@ -144,12 +144,10 @@ class CircuitTableIndexer:
         self._built = True
 
     # -- per block --------------------------------------------------------
-    def apply_block(self, blk: BlockFixture) -> WrappedEnvelope:
+    def _prove_extraction(self, blk: BlockFixture):
+        """Map-reduce over the storage trie, the contract's state-trie
+        walk, the header circuit, and final_simple."""
         cfg = self.cfg
-        self._ensure_built(blk.header_rlp)
-
-        # 1. extraction: map-reduce over the storage trie, then the
-        # contract's state-trie walk, the header circuit, and final_simple
         paths = {
             k: blk.storage.get_proof(SK.mapping_location(cfg.slot, k))
             for k in sorted(blk.entries)
@@ -162,16 +160,29 @@ class CircuitTableIndexer:
             blk.state.get_proof(cfg.contract_address)
         )
         block_env, _ = self.bx.prove_header(blk.header_rlp)
-        final_env, final_pis = self.fx.prove(
-            block_env, contract_env, values_env
-        )
+        return self.fx.prove(block_env, contract_env, values_env)
+
+    def _row_cells(self, blk: BlockFixture, key: bytes, value: int):
+        """Non-indexed cells of one row."""
+        return [Cell(self.cfg.value_id, value, False)]
+
+    def _row_values(self, blk: BlockFixture, key: bytes, value: int):
+        """Materialized query-view row."""
+        return [blk.number, int.from_bytes(key, "big"), value]
+
+    def apply_block(self, blk: BlockFixture) -> WrappedEnvelope:
+        cfg = self.cfg
+        self._ensure_built(blk.header_rlp)
+
+        # 1. extraction
+        final_env, final_pis = self._prove_extraction(blk)
         self.proofs[("final_extraction", blk.number)] = final_env
 
         # 2. rows tree update + one proof per dirtied node
         def tx(t):
             for k, v in blk.entries.items():
                 key_int = int.from_bytes(k, "big")
-                cells = build_cells_tree([Cell(cfg.value_id, v, False)])
+                cells = build_cells_tree(self._row_cells(blk, k, v))
                 t.store(
                     (key_int, 0),
                     RowPayload(
@@ -193,7 +204,7 @@ class CircuitTableIndexer:
 
         root_pl = self.rows_db.payload(self.rows_db.root())
         rows_digest = D.compute_final_digest(
-            False, root_pl.individual_vd, root_pl.multiplier_vd,
+            self.is_merge, root_pl.individual_vd, root_pl.multiplier_vd,
             root_pl.multiplier_cnt,
         )
         # the block_leaf_bound circuit enforces this equality in-circuit;
@@ -246,10 +257,12 @@ class CircuitTableIndexer:
 
         # 5. materialized query view + row bookkeeping
         self.rows_of_block[blk.number] = dict(blk.entries)
+        self._fixture_of: Dict[int, BlockFixture] = getattr(
+            self, "_fixture_of", {}
+        )
+        self._fixture_of[blk.number] = blk
         for k, v in blk.entries.items():
-            self.table_data.add_row(
-                blk.number, [blk.number, int.from_bytes(k, "big"), v]
-            )
+            self.table_data.add_row(blk.number, self._row_values(blk, k, v))
         return final_env
 
     def _prove_rows_plan(self, plan):
@@ -284,6 +297,8 @@ class CircuitTableIndexer:
                 )
             self.rows_node_env[key] = env
 
+    is_merge = False  # merged tables: MergedTableIndexer sets True
+
     def _prove_block_plan(self, plan, new_block: int, final_env):
         """Block-tree reduce: the new node binds its extraction proof
         (`*_bound`); re-proved ancestors verify their children + their own
@@ -298,8 +313,8 @@ class CircuitTableIndexer:
             if l is None and r is None:
                 env = self.vdb.block.prove_aggregation(
                     "block_leaf_bound" if bound else "block_leaf", [],
-                    (payload.index_id, payload.block_number, False), pis,
-                    foreign_children=foreign,
+                    (payload.index_id, payload.block_number, self.is_merge),
+                    pis, foreign_children=foreign,
                 )
             else:
                 assert l is not None, "sbbst parents always have a left child"
@@ -309,7 +324,7 @@ class CircuitTableIndexer:
                     "block_parent_bound" if bound else "block_parent",
                     [lc, rc],
                     (payload.index_id, payload.block_number, r is not None,
-                     False),
+                     self.is_merge),
                     pis, foreign_children=foreign,
                 )
             self.block_node_env[key] = env
@@ -338,7 +353,9 @@ class CircuitTableIndexer:
             entries = self.rows_of_block[bn]
             for k in sorted(entries, key=lambda kk: int.from_bytes(kk, "big")):
                 kv = int.from_bytes(k, "big")
-                rows.append([bn, kv, entries[k]])
+                rows.append(
+                    self._row_values(self._fixture_of[bn], k, entries[k])
+                )
                 bindings.append(
                     make_row_binding(view, (kv, 0), self.block_db, bn)
                 )
@@ -406,3 +423,102 @@ class CircuitTableIndexer:
 
     def verify(self, env: WrappedEnvelope) -> bool:
         return self.qc.verify(env)
+
+
+class MergedTableIndexer(CircuitTableIndexer):
+    """CircuitTableIndexer for a MERGED table: a mapping table (individual
+    rows) joined with a single-slot table whose columns repeat on every row
+    as the MULTIPLIER side of the split-digest scheme (merge_circuit.rs +
+    block_tree/mod.rs:69-95).
+
+    Extraction proves BOTH storage walks under their own fixed VKs and
+    combines them in `final_merge`; every row's cells tree carries the
+    multiplier cell, the rows tree enforces all rows agree on it, and
+    `block_leaf_bound` pins the merged extraction digest to the rows
+    tree's merged final digest with is_merge = 1 in-circuit."""
+
+    is_merge = True
+
+    def __init__(self, cfg, config=None, query_params=None, **kw):
+        qp = query_params or UniversalQueryParams(
+            num_columns=4, num_placeholders=4, num_predicate_ops=4,
+            num_result_ops=2, num_outputs=2,
+        )
+        super().__init__(cfg, config=config, query_params=qp, **kw)
+        self.column_ids = [
+            cfg.block_id, cfg.key_id, cfg.value_id, cfg.supply_id
+        ]
+
+    def _ensure_built(self, header: bytes):
+        if self._built:
+            return
+        cfg = self.cfg
+        self.vx = ValuesExtractionCircuits(
+            [cfg.column], cfg.value_id, config=self.config,
+            mapping=(cfg.slot, cfg.key_id),
+            branch_arities=self.branch_arities,
+        )
+        self.vx_b = ValuesExtractionCircuits(
+            [cfg.single_column], cfg.supply_id, config=self.config,
+            branch_arities=self.branch_arities,
+        )
+        self.cx = ContractExtractionCircuits(
+            cfg.contract_address, config=self.config
+        )
+        self.bx = BlockExtractionFramework(
+            config=self.config, **fixture_header_offsets(header)
+        )
+        self.fx = FinalExtractionCircuits(
+            self.bx, self.cx, self.vx, config=self.config,
+            merge_with=self.vx_b,
+        )
+        self.vdb = VerifiableDbCircuits(self.config, extraction=self.fx)
+        self.qc = QueryCircuits(
+            self.config, self.query_params, ivc_framework=self.vdb.ivc,
+            row_tree_depth=self.row_tree_depth,
+            index_tree_depth=self.index_tree_depth,
+            tabular_rows=self.tabular_rows,
+        )
+        self._built = True
+
+    def _prove_extraction(self, blk: BlockFixture):
+        from mp2_tpu.extraction.mpt_circuits import host_key_nibbles
+
+        cfg = self.cfg
+        assert blk.single_value is not None, (
+            "merged-table fixtures need the single multiplier slot"
+        )
+        paths = {
+            k: blk.storage.get_proof(SK.mapping_location(cfg.slot, k))
+            for k in sorted(blk.entries)
+        }
+        a_env, a_pis = self.vx.prove_trie(paths, {k: k for k in paths})
+        assert a_pis[95] == 0, "mapping walk must reach the trie root"
+
+        loc = SK.simple_slot_location(cfg.single_slot)
+        b_env, b_pis = self.vx_b.prove_trie(
+            {loc: blk.storage.get_proof(loc)},
+            {loc: host_key_nibbles(loc)},
+        )
+        assert b_pis[95] == 0, "single-slot walk must reach the trie root"
+
+        contract_env, _ = self.cx.prove_state_path(
+            blk.state.get_proof(cfg.contract_address)
+        )
+        block_env, _ = self.bx.prove_header(blk.header_rlp)
+        # table A (mapping) = individual rows; table B (single) = multiplier
+        return self.fx.prove_merge(
+            block_env, contract_env, a_env, b_env,
+            is_table_a_multiplier=False,
+        )
+
+    def _row_cells(self, blk: BlockFixture, key: bytes, value: int):
+        return [
+            Cell(self.cfg.value_id, value, False),
+            Cell(self.cfg.supply_id, blk.single_value, True),
+        ]
+
+    def _row_values(self, blk: BlockFixture, key: bytes, value: int):
+        return [
+            blk.number, int.from_bytes(key, "big"), value, blk.single_value
+        ]

@@ -91,19 +91,52 @@ class MappingTableConfig:
 
 
 @dataclass
+class MergedTableConfig(MappingTableConfig):
+    """A MERGED table (final_extraction merge_circuit.rs): a mapping table
+    (individual rows) joined with a single-slot table whose columns repeat
+    on every row (the multiplier side of the split-digest scheme) — e.g.
+    ERC-20 balances merged with the total supply."""
+
+    single_slot: int = 0
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.single_slot != self.slot
+        self.supply_id = V.identifier_for_value_column(
+            self.single_slot, 0, 256, 0, self.contract_address, self.chain_id
+        )
+        self.single_column = simple_column(self.single_slot, self.supply_id)
+
+    def schema(self) -> ZkTable:
+        return ZkTable(
+            "t",
+            [
+                ZkColumn("block", self.block_id, "primary_index"),
+                ZkColumn("key", self.key_id, "secondary_index"),
+                ZkColumn("value", self.value_id),
+                ZkColumn("supply", self.supply_id),
+            ],
+        )
+
+
+@dataclass
 class BlockFixture:
     number: int
     header_rlp: bytes
     state: MPT
     storage: MPT
     entries: Dict[bytes, int]  # mapping key -> value
+    single_value: Optional[int] = None  # merged tables: the multiplier slot
 
 
 def make_chain(
     cfg: MappingTableConfig, per_block_entries: Sequence[Dict[bytes, int]],
     start_block: int = 100,
+    single_values: Optional[Sequence[int]] = None,
 ) -> List[BlockFixture]:
-    """Build a fixture chain: each block's storage trie holds the mapping."""
+    """Build a fixture chain: each block's storage trie holds the mapping
+    (and, for merged tables, the single multiplier slot per
+    `single_values[i]`)."""
     blocks = []
     parent = keccak256(b"genesis")
     for i, entries in enumerate(per_block_entries):
@@ -111,6 +144,12 @@ def make_chain(
         storage = MPT(secure=True)
         for k, v in entries.items():
             storage.insert(SK.mapping_location(cfg.slot, k), rlp.encode_int(v))
+        single_v = single_values[i] if single_values is not None else None
+        if single_v is not None:
+            storage.insert(
+                SK.simple_slot_location(cfg.single_slot),
+                rlp.encode_int(single_v),
+            )
         storage.insert(keccak256(b"unrelated"), rlp.encode_int(7))
         state = MPT(secure=True)
         account = rlp.encode(
@@ -131,7 +170,8 @@ def make_chain(
             ]
         )
         blocks.append(
-            BlockFixture(number, header, state, storage, dict(entries))
+            BlockFixture(number, header, state, storage, dict(entries),
+                         single_value=single_v)
         )
         parent = keccak256(header)
     return blocks

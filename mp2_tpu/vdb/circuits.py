@@ -322,6 +322,16 @@ def _build_rows_leaf(b, children, foreign):
     return assign
 
 
+def _connect_child_multiplier(b, mult_vd, mult_cnt, child_pis):
+    """row_tree/full_node.rs:46-52: every row of the tree carries the SAME
+    multiplier digest/counter (the shared multiplier columns of a merged
+    table) — children must match this node's own, not be summed."""
+    own_fields = curve_to_pi_targets(b, mult_vd)
+    for a, c in zip(own_fields, child_pis[15:26]):
+        b.connect(a, c)
+    b.connect(mult_cnt, child_pis[26])
+
+
 def _build_rows_full(b, children, foreign):
     cells = _CellsPis.parse(b, foreign[0].public_inputs())
     ident, value, is_mult, rud, ind_vd, mult_vd, mult_cnt = _row_common(b, cells)
@@ -330,10 +340,10 @@ def _build_rows_full(b, children, foreign):
     mn = _u256_min(b, _u256_min(b, value, l.mn), r.mn)
     mx = _u256_max(b, _u256_max(b, value, l.mx), r.mx)
     ind_t = curve_add(b, curve_add(b, ind_vd, l.ind_vd), r.ind_vd)
-    mult_t = curve_add(b, curve_add(b, mult_vd, l.mult_vd), r.mult_vd)
-    mcnt = b.add(b.add(mult_cnt, l.mult_cnt), r.mult_cnt)
+    _connect_child_multiplier(b, mult_vd, mult_cnt, children[0].public_inputs())
+    _connect_child_multiplier(b, mult_vd, mult_cnt, children[1].public_inputs())
     h = _row_node_hash_circuit(b, l.h, r.h, mn, mx, ident, value, cells.h)
-    _rows_register(b, h, ind_t, mult_t, mcnt, mn, mx)
+    _rows_register(b, h, ind_t, mult_vd, mult_cnt, mn, mx)
 
     def assign(inputs, secondary, row_unique_data):
         _assign_row(inputs, (ident, value, is_mult, rud), secondary, row_unique_data)
@@ -349,13 +359,12 @@ def _build_rows_partial(b, children, foreign):
     mn = _u256_min(b, value, c.mn)
     mx = _u256_max(b, value, c.mx)
     ind_t = curve_add(b, ind_vd, c.ind_vd)
-    mult_t = curve_add(b, mult_vd, c.mult_vd)
-    mcnt = b.add(mult_cnt, c.mult_cnt)
+    _connect_child_multiplier(b, mult_vd, mult_cnt, children[0].public_inputs())
     e = [b.constant(v) for v in EMPTY]
     lh = [b.select(child_is_left, a, z) for a, z in zip(c.h, e)]
     rh = [b.select(child_is_left, z, a) for a, z in zip(c.h, e)]
     h = _row_node_hash_circuit(b, lh, rh, mn, mx, ident, value, cells.h)
-    _rows_register(b, h, ind_t, mult_t, mcnt, mn, mx)
+    _rows_register(b, h, ind_t, mult_vd, mult_cnt, mn, mx)
 
     def assign(inputs, secondary, row_unique_data, is_left):
         _assign_row(inputs, (ident, value, is_mult, rud), secondary, row_unique_data)
@@ -376,12 +385,15 @@ def _block_common(b, rows: _RowsPis):
     index_id = b.add_input()
     number = add_virtual_u256(b)
     is_merge = _bool_input(b)
+    # merge case (block_tree/mod.rs:69-95): final =
+    # H2Int(fields(H2Int(H("")||cnt) * mult_vd)) * ind_vd — matching the
+    # final-extraction merge digest H2Int(fields(dv_mult)) * dv_ind
     e = [b.constant(v) for v in EMPTY]
     merge_h = b.hash_no_pad(e + [rows.mult_cnt])
-    merge_part = curve_scalar_mul_hash128(b, merge_h[0], merge_h[1], rows.mult_vd)
-    rows_digest = curve_add(
-        b, rows.ind_vd, curve_select(b, is_merge, merge_part, curve_zero(b))
-    )
+    md = curve_scalar_mul_hash128(b, merge_h[0], merge_h[1], rows.mult_vd)
+    fh = b.hash_no_pad(curve_to_pi_targets(b, md))
+    merged = curve_scalar_mul_hash128(b, fh[0], fh[1], rows.ind_vd)
+    rows_digest = curve_select(b, is_merge, merged, rows.ind_vd)
     idx_h = b.hash_no_pad([index_id] + list(number.limbs))
     node_digest = curve_scalar_mul_hash128(b, idx_h[0], idx_h[1], rows_digest)
     return index_id, number, is_merge, node_digest, rows_digest

@@ -167,10 +167,20 @@ def compute_final_digest(
     multiplier_vd: Point,
     multiplier_cnt: int,
 ) -> Point:
+    """block_tree/mod.rs:69-95: in the merge case
+        row_id_multiplier = H2Int(H("") || multiplier_cnt)
+        multiplier_digest = row_id_multiplier * multiplier_vd
+        final             = H2Int(fields(multiplier_digest)) * individual_vd
+    which equals the final-extraction merge digest
+    H2Int(fields(dv_mult)) * dv_ind (merge_circuit.rs/digest.rs
+    combine_to_digest): the single multiplier table's extraction digest is
+    row_id * sum(column digests) with row_id = H2Int(H("") || #columns)."""
     if not is_merge_case:
         return individual_vd
     h = p2h.hash_no_pad(list(EMPTY_HASH) + [multiplier_cnt])
-    return individual_vd + multiplier_vd.scalar_mul(p2h.hash_to_int(h))
+    md = multiplier_vd.scalar_mul(p2h.hash_to_int(h))
+    fh = p2h.hash_no_pad(md.to_fields())
+    return individual_vd.scalar_mul(p2h.hash_to_int(fh))
 
 
 def block_node_hash(

@@ -136,6 +136,9 @@ def _row_aggregate(key: RowTreeKey, payload: RowPayload, children) -> RowPayload
     mins = [payload.secondary.value]
     maxs = [payload.secondary.value]
     ind = own.individual_vd
+    # every row carries the SAME multiplier digest/counter (the shared
+    # multiplier columns of a merged table); children must agree, not sum
+    # (row_tree/full_node.rs:46-52)
     mult = own.multiplier_vd
     mcnt = own.multiplier_cnt
     lh = rh = None
@@ -144,15 +147,17 @@ def _row_aggregate(key: RowTreeKey, payload: RowPayload, children) -> RowPayload
         mins.append(left.min_value)
         maxs.append(left.max_value)
         ind = ind + left.individual_vd
-        mult = mult + left.multiplier_vd
-        mcnt += left.multiplier_cnt
+        assert left.multiplier_vd == mult and left.multiplier_cnt == mcnt, (
+            "rows disagree on the multiplier digest"
+        )
         lh = left.hash
     if right is not None:
         mins.append(right.min_value)
         maxs.append(right.max_value)
         ind = ind + right.individual_vd
-        mult = mult + right.multiplier_vd
-        mcnt += right.multiplier_cnt
+        assert right.multiplier_vd == mult and right.multiplier_cnt == mcnt, (
+            "rows disagree on the multiplier digest"
+        )
         rh = right.hash
     payload.min_value = min(mins)
     payload.max_value = max(maxs)

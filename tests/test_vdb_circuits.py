@@ -202,3 +202,95 @@ def test_chained_sets_prove_end_to_end():
         C.ivc_pi_values(blk.hash, md, 1234), foreign_children=[blk_env],
     )
     assert vdb.ivc.verify(ivc_env)
+
+
+def test_rows_full_multiplier_equality_and_merged_block_leaf():
+    """Merged-table circuits: a full rows node accepts children that agree
+    on the multiplier digest/counter and rejects disagreeing ones
+    (row_tree/full_node.rs:46-52); block_leaf with is_merge=1 exposes the
+    merged final digest (block_tree/mod.rs:69-95)."""
+    sup = 350
+
+    def mk_cells():
+        return build_cells_tree(
+            [Cell(7, 700, False), Cell(9, sup, True)]
+        )
+
+    rows_db = new_row_tree()
+
+    def tx(t):
+        for k in (20, 10, 30):  # balanced: 20 at the root
+            t.store(
+                (k, 0),
+                RowPayload(
+                    secondary=Cell(5, k, False), row_unique_data=(k, 0, 0, 0),
+                    cells=mk_cells(),
+                ),
+            )
+
+    rows_db.in_transaction(tx)
+    root_key = rows_db.root()
+    l, r = rows_db.tree.children(root_key)
+    assert l is not None and r is not None
+    root_pl = rows_db.payload(root_key)
+    lp, rp = rows_db.payload(l), rows_db.payload(r)
+    assert root_pl.multiplier_cnt == 1
+
+    b = CircuitBuilder(test_config())
+    sl, sr_, sc = _StubChild(b), _StubChild(b), _StubChild(b)
+    assign = C._build_rows_full(b, [sl, sr_], [sc])
+    cells = root_pl.cells
+    inputs = {}
+    assign(inputs, root_pl.secondary, root_pl.row_unique_data)
+    sc.assign(
+        inputs,
+        C.cells_pi_values(
+            cells.root_hash, cells.split,
+            cells.individual_cnt, cells.multiplier_cnt,
+        ),
+    )
+    sl.assign(inputs, C.rows_pi_values(lp))
+    sr_.assign(inputs, C.rows_pi_values(rp))
+    data = b.build()
+    w = data.generate_witness(inputs)
+    data.check_witness(w, C.rows_pi_values(root_pl))
+
+    # a child claiming a DIFFERENT multiplier digest must be rejected
+    bad = list(C.rows_pi_values(lp))
+    bad[15] = (bad[15] + 1) % ((1 << 64) - (1 << 32) + 1)
+    inputs2 = {}
+    assign(inputs2, root_pl.secondary, root_pl.row_unique_data)
+    sc.assign(
+        inputs2,
+        C.cells_pi_values(
+            cells.root_hash, cells.split,
+            cells.individual_cnt, cells.multiplier_cnt,
+        ),
+    )
+    sl.assign(inputs2, bad)
+    sr_.assign(inputs2, C.rows_pi_values(rp))
+    with pytest.raises((ValueError, AssertionError)):
+        w2 = data.generate_witness(inputs2)
+        data.check_witness(w2, C.rows_pi_values(root_pl))
+
+    # merged block leaf: is_merge = 1 switches to the merged final digest
+    merged = D.compute_final_digest(
+        True, root_pl.individual_vd, root_pl.multiplier_vd,
+        root_pl.multiplier_cnt,
+    )
+    assert merged != root_pl.individual_vd
+    block_db = new_block_tree()
+    bp = BlockPayload(
+        index_id=99, block_number=1234, rows_hash=root_pl.hash,
+        rows_digest=merged,
+    )
+    block_db.in_transaction(lambda t: t.store(1234, bp))
+    blk = block_db.payload(1234)
+
+    b2 = CircuitBuilder(test_config())
+    sr2 = _StubChild(b2)
+    assign2 = C._build_block_leaf(b2, [], [sr2])
+    inputs3 = {}
+    assign2(inputs3, 99, 1234, True)
+    sr2.assign(inputs3, C.rows_pi_values(root_pl))
+    _run(b2, inputs3, C.block_pi_values(blk))

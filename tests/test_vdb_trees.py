@@ -130,10 +130,19 @@ def test_block_tree_append_epochs():
 
 
 def test_final_digest_merge_semantics():
+    """block_tree/mod.rs:69-95: final = H2Int(fields(r * mult)) * ind with
+    r = H2Int(H("") || cnt) — equal to the final-extraction merge digest
+    H2Int(fields(dv_mult)) * dv_ind when the multiplier table's extraction
+    digest is row_id * sum(columns) with row_id = H2Int(H("") || cnt)."""
     ind = D.cell_values_digest(1, 2)
     mult = D.cell_values_digest(3, 4)
     assert D.compute_final_digest(False, ind, mult, 5) == ind
     merged = D.compute_final_digest(True, ind, mult, 5)
     assert merged != ind
     h = p2h.hash_no_pad(list(D.EMPTY_HASH) + [5])
-    assert merged == ind + mult.scalar_mul(p2h.hash_to_int(h))
+    md = mult.scalar_mul(p2h.hash_to_int(h))
+    fh = p2h.hash_no_pad(md.to_fields())
+    assert merged == ind.scalar_mul(p2h.hash_to_int(fh))
+    # the extraction-side combine (merge_circuit.rs): same value when
+    # dv_mult == r * mult
+    assert merged == ind.scalar_mul(p2h.hash_to_int(p2h.hash_no_pad(md.to_fields())))
