@@ -23,6 +23,42 @@ os.environ.setdefault(
 )
 
 import jax
+
+
+def _init_device(timeout_s: int):
+    """Backend init with a watchdog: a wedged TPU tunnel makes the FIRST
+    backend touch hang forever — fail fast and loud instead so the driver
+    can retry, rather than eating its whole bench budget.  Must run BEFORE
+    the mp2_tpu imports (module-level jnp constants initialize the
+    backend)."""
+    import threading
+
+    out = {}
+
+    def probe():
+        try:
+            out["dev"] = jax.devices()[0]
+        except Exception as e:  # init error: report, don't hang
+            out["err"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "dev" in out:
+        return out["dev"]
+    if "err" in out:
+        print(f"bench: backend init failed: {out['err']}", file=sys.stderr)
+    else:
+        print(
+            f"bench: backend init did not complete within {timeout_s}s "
+            "(TPU tunnel unresponsive)", file=sys.stderr,
+        )
+    sys.stderr.flush()
+    os._exit(3)
+
+
+_DEV = _init_device(int(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,7 +96,7 @@ def _bench(fn, args, iters=5, rounds=3):
 
 
 def main():
-    dev = jax.devices()[0]
+    dev = _DEV
     n = 1 << LOG_N
     rng = np.random.default_rng(0)
 
