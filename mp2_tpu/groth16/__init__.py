@@ -51,7 +51,8 @@ def _load():
         ):
             os.makedirs(os.path.dirname(_OUT), exist_ok=True)
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _OUT, _SRC],
+                ["g++", "-O2", "-shared", "-fPIC", "-pthread",
+                 "-o", _OUT, _SRC],
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(_OUT)

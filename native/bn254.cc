@@ -15,8 +15,10 @@
 // "squaring-chain binding" R1CS: given public inputs p_0..p_{n-1} and the
 // claimed commitment c:  x_0 = 1;  x_{i+1} = x_i * x_i + p_i;  c == x_n.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 typedef unsigned __int128 u128;
@@ -620,19 +622,21 @@ static G2 g2_mul_gen(const U256 &k) {
   return jg2_to(acc);
 }
 
-// --- Pippenger multi-scalar multiplication (scalars canonical)
+// --- Pippenger multi-scalar multiplication (scalars canonical).
+// Windows are independent (total = sum_w 2^{wc} S_w), so the bucket
+// accumulation parallelizes across threads; the serial recombination is
+// nwin*c doublings — negligible.  Deterministic: per-window partials are
+// combined in a fixed order regardless of scheduling.
 static G1 g1_msm(const std::vector<G1> &pts, const std::vector<U256> &scal) {
   size_t n = pts.size();
   if (n == 0) return g1_zero();
   int c = 3;
   while ((1u << (c + 3)) < n && c < 16) c++;
   int nwin = (256 + c - 1) / c;
-  JG1 total = jg1_inf();
-  std::vector<JG1> buckets((size_t)1 << c);
-  for (int w = nwin - 1; w >= 0; w--) {
-    if (!jg1_is_inf(total))
-      for (int i = 0; i < c; i++) total = jg1_dbl(total);
-    for (auto &b : buckets) b = jg1_inf();
+  std::vector<JG1> partial(nwin);
+
+  auto window_sum = [&](int w) {
+    std::vector<JG1> buckets((size_t)1 << c, jg1_inf());
     int lo = w * c;
     for (size_t i = 0; i < n; i++) {
       if (pts[i].inf) continue;
@@ -650,7 +654,28 @@ static G1 g1_msm(const std::vector<G1> &pts, const std::vector<U256> &scal) {
       running = jg1_add(running, buckets[b]);
       acc = jg1_add(acc, running);
     }
-    total = jg1_add(total, acc);
+    partial[w] = acc;
+  };
+
+  unsigned nthreads = std::thread::hardware_concurrency();
+  if (nthreads > (unsigned)nwin) nthreads = (unsigned)nwin;
+  if (nthreads > 1 && n >= 64) {
+    std::vector<std::thread> ts;
+    std::atomic<int> next(0);
+    for (unsigned t = 0; t < nthreads; t++)
+      ts.emplace_back([&] {
+        for (int w; (w = next.fetch_add(1)) < nwin;) window_sum(w);
+      });
+    for (auto &t : ts) t.join();
+  } else {
+    for (int w = 0; w < nwin; w++) window_sum(w);
+  }
+
+  JG1 total = jg1_inf();
+  for (int w = nwin - 1; w >= 0; w--) {
+    if (!jg1_is_inf(total))
+      for (int i = 0; i < c; i++) total = jg1_dbl(total);
+    total = jg1_add(total, partial[w]);
   }
   return jg1_to(total);
 }
@@ -660,12 +685,10 @@ static G2 g2_msm(const std::vector<G2> &pts, const std::vector<U256> &scal) {
   int c = 3;
   while ((1u << (c + 3)) < n && c < 16) c++;
   int nwin = (256 + c - 1) / c;
-  JG2 total = jg2_inf();
-  std::vector<JG2> buckets((size_t)1 << c);
-  for (int w = nwin - 1; w >= 0; w--) {
-    if (!jg2_is_inf(total))
-      for (int i = 0; i < c; i++) total = jg2_dbl(total);
-    for (auto &b : buckets) b = jg2_inf();
+  std::vector<JG2> partial(nwin);
+
+  auto window_sum = [&](int w) {
+    std::vector<JG2> buckets((size_t)1 << c, jg2_inf());
     int lo = w * c;
     for (size_t i = 0; i < n; i++) {
       if (pts[i].inf) continue;
@@ -682,7 +705,28 @@ static G2 g2_msm(const std::vector<G2> &pts, const std::vector<U256> &scal) {
       running = jg2_add(running, buckets[b]);
       acc = jg2_add(acc, running);
     }
-    total = jg2_add(total, acc);
+    partial[w] = acc;
+  };
+
+  unsigned nthreads = std::thread::hardware_concurrency();
+  if (nthreads > (unsigned)nwin) nthreads = (unsigned)nwin;
+  if (nthreads > 1 && n >= 64) {
+    std::vector<std::thread> ts;
+    std::atomic<int> next(0);
+    for (unsigned t = 0; t < nthreads; t++)
+      ts.emplace_back([&] {
+        for (int w; (w = next.fetch_add(1)) < nwin;) window_sum(w);
+      });
+    for (auto &t : ts) t.join();
+  } else {
+    for (int w = 0; w < nwin; w++) window_sum(w);
+  }
+
+  JG2 total = jg2_inf();
+  for (int w = nwin - 1; w >= 0; w--) {
+    if (!jg2_is_inf(total))
+      for (int i = 0; i < c; i++) total = jg2_dbl(total);
+    total = jg2_add(total, partial[w]);
   }
   return jg2_to(total);
 }
