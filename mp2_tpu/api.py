@@ -147,10 +147,17 @@ def generate_proof(params: PublicParameters, circuit_input: Dict) -> Dict:
             i: [_unhex(n) for n in nodes]
             for i, nodes in enumerate(p["paths"])
         }
-        leaf_args = {
-            i: (_unhex(a) if isinstance(a, str) else a)
-            for i, a in enumerate(p["leaf_args"])
-        }
+        def leaf_arg(a):
+            if isinstance(a, str):
+                return _unhex(a)  # mapping key bytes
+            if (
+                isinstance(a, (list, tuple)) and len(a) == 2
+                and isinstance(a[0], (list, tuple))
+            ):
+                return (list(a[0]), int(a[1]))  # (key nibbles, evm_word)
+            return a  # key nibbles
+
+        leaf_args = {i: leaf_arg(a) for i, a in enumerate(p["leaf_args"])}
         env, _ = vxs.prove_trie(paths, leaf_args)
         return _env_out(env)
 
