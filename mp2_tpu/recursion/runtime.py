@@ -233,14 +233,20 @@ class RecursionFramework:
         inputs: Dict,
         user_pis: Sequence[int],
     ) -> WrappedEnvelope:
+        from mp2_tpu.utils.trace import span
+
         sd = self.set_digest
         for t, v in zip(m.sd_targets, sd):
             inputs[t] = int(v)
         pis = [int(x) for x in user_pis] + [int(v) for v in sd]
         assert len(pis) == self.num_pis
-        w = m.data.generate_witness(inputs)
-        proof = prove(m.data, w, pis)
-        wrapped = self.wrap_to_standard(m.data, proof)
+        with span("prove_member", member=m.name):
+            with span("witness"):
+                w = m.data.generate_witness(inputs)
+            with span("prove"):
+                proof = prove(m.data, w, pis)
+            with span("wrap"):
+                wrapped = self.wrap_to_standard(m.data, proof)
         return WrappedEnvelope(member=m.name, proof=wrapped)
 
     def prove_leaf(

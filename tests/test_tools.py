@@ -59,3 +59,33 @@ def test_parsil_cli(capsys):
     assert rc == 0 and "tabular" in out and "LIMIT 3" in out
 
     assert main(["SELECT nosuch FROM t"]) == 1
+
+
+def test_trace_spans(monkeypatch, tmp_path, capsys):
+    """Span tracer: nested timing to stderr + JSON, aggregated report."""
+    from mp2_tpu.utils import trace
+
+    # disabled: pure no-op
+    monkeypatch.delenv("MP2_TRACE", raising=False)
+    monkeypatch.delenv("MP2_TRACE_JSON", raising=False)
+    trace.reset()
+    with trace.span("off"):
+        pass
+    assert trace.report() == {}
+
+    out = tmp_path / "spans.jsonl"
+    monkeypatch.setenv("MP2_TRACE", "1")
+    monkeypatch.setenv("MP2_TRACE_JSON", str(out))
+    with trace.span("outer", circuit="rows_leaf"):
+        with trace.span("inner"):
+            pass
+    rep = trace.report()
+    assert rep["outer"][0] == 1 and rep["inner"][0] == 1
+    import json as j
+
+    recs = [j.loads(l) for l in out.read_text().splitlines()]
+    assert {r["name"] for r in recs} == {"outer", "inner"}
+    assert next(r for r in recs if r["name"] == "inner")["depth"] == 1
+    err = capsys.readouterr().err
+    assert "[trace] outer circuit=rows_leaf" in err
+    trace.reset()
