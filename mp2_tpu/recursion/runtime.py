@@ -249,6 +249,105 @@ class RecursionFramework:
                 wrapped = self.wrap_to_standard(m.data, proof)
         return WrappedEnvelope(member=m.name, proof=wrapped)
 
+    # -------------------------------------------------------------- batched
+    def _prove_members_batch(
+        self,
+        m: _Member,
+        inputs_list: List[Dict],
+        pis_list: Sequence[Sequence[int]],
+    ) -> List[WrappedEnvelope]:
+        """B same-member proofs per device dispatch (the map-phase batch):
+        the member stage AND every wrap-chain level run through
+        prover.batch.prove_batch — one staged dispatch sequence per level
+        instead of one per proof.  Bit-identical to the serial path."""
+        import numpy as np
+
+        from mp2_tpu.prover.batch import prove_batch
+        from mp2_tpu.recursion.verifier_gadget import set_proof_witness
+        from mp2_tpu.utils.trace import span
+
+        sd = self.set_digest
+        full_pis = []
+        wits = []
+        with span("witness_batch", member=m.name, B=len(inputs_list)):
+            for inputs, user_pis in zip(inputs_list, pis_list):
+                for t, v in zip(m.sd_targets, sd):
+                    inputs[t] = int(v)
+                pis = [int(x) for x in user_pis] + [int(v) for v in sd]
+                assert len(pis) == self.num_pis
+                full_pis.append(pis)
+                wits.append(m.data.generate_witness(inputs))
+        with span("prove_batch", member=m.name, B=len(wits)):
+            proofs = prove_batch(m.data, np.stack(wits), full_pis)
+
+        # wrap chain, one batched prove per level
+        data = m.data
+        std = self.standard.shape_key()
+        wrapped = False
+        guard = 0
+        while not wrapped or CommonData.of(data).shape_key() != std:
+            wc = self._wrap_for(data)
+            with span("wrap_batch", level=guard, B=len(proofs)):
+                wrap_wits = []
+                for p in proofs:
+                    winputs: Dict = {}
+                    set_proof_witness(winputs, wc.proof_targets, p)
+                    wrap_wits.append(wc.data.generate_witness(winputs))
+                proofs = prove_batch(
+                    wc.data, np.stack(wrap_wits),
+                    [list(p.public_inputs) for p in proofs],
+                )
+            data = wc.data
+            wrapped = True
+            guard += 1
+            assert guard <= 4, "wrap chain failed to converge"
+        return [WrappedEnvelope(member=m.name, proof=p) for p in proofs]
+
+    def prove_leaves_batch(
+        self, name: str, args_list: Sequence[Sequence],
+        pis_list: Sequence[Sequence[int]],
+    ) -> List[WrappedEnvelope]:
+        """Batch counterpart of prove_leaf: B independent leaf witnesses
+        proved per dispatch sequence at every stage."""
+        m = self.members[name]
+        inputs_list: List[Dict] = []
+        for args in args_list:
+            inputs: Dict = {}
+            m.assign(inputs, *args)
+            inputs_list.append(inputs)
+        return self._prove_members_batch(m, inputs_list, pis_list)
+
+    def prove_aggregations_batch(
+        self,
+        name: str,
+        children_list: Sequence[Sequence[WrappedEnvelope]],
+        args_list: Sequence[Sequence],
+        pis_list: Sequence[Sequence[int]],
+        foreign_children_list: Optional[Sequence[Sequence[WrappedEnvelope]]] = None,
+    ) -> List[WrappedEnvelope]:
+        """Batch counterpart of prove_aggregation: B same-member
+        aggregations (one reduce-tree level) per dispatch sequence."""
+        m = self.members[name]
+        if foreign_children_list is None:
+            foreign_children_list = [()] * len(children_list)
+        inputs_list: List[Dict] = []
+        for children, args, foreign in zip(
+            children_list, args_list, foreign_children_list
+        ):
+            assert len(children) == len(m.uvs), "child count mismatch"
+            assert len(foreign) == len(m.foreign_uvs), (
+                "foreign child count mismatch"
+            )
+            inputs: Dict = {}
+            for uv, env in zip(m.uvs, children):
+                self._set_child_witness(inputs, self, uv, env)
+            for (fw, uv), env in zip(m.foreign_uvs, foreign):
+                self._set_child_witness(inputs, fw, uv, env)
+            if m.assign is not None:
+                m.assign(inputs, *args)
+            inputs_list.append(inputs)
+        return self._prove_members_batch(m, inputs_list, pis_list)
+
     def prove_leaf(
         self, name: str, user_args: Sequence, user_pis: Sequence[int]
     ) -> WrappedEnvelope:

@@ -218,3 +218,61 @@ def test_fixed_vk_sixteen_leaf_aggregation():
     assert root.user_inputs[:4] == vals[0]
     print(f"aggregated 16 leaves -> 1 root: {n_proofs} proofs in {dt:.1f}s "
           f"({n_proofs / dt:.2f} proofs/s)")
+
+
+@slow
+def test_batched_framework_proving_matches_serial():
+    """prove_leaves_batch / prove_aggregations_batch: every stage (member
+    + each wrap level) runs B witnesses per dispatch; proofs are
+    BIT-IDENTICAL to the serial path."""
+    from mp2_tpu.prover.serde import proof_to_dict
+    from mp2_tpu.recursion.runtime import RecursionFramework
+
+    cfg = test_config()
+    fw = RecursionFramework(cfg, num_user_pis=4, set_height=2)
+
+    def leaf_build(b):
+        x = b.add_input()
+        h = b.hash_no_pad([x])
+        b.register_public_inputs(h)
+
+        def assign(inputs, xv):
+            inputs[x] = xv
+
+        return assign
+
+    def agg_build(b, children):
+        l = children[0].public_inputs()[:4]
+        r = children[1].public_inputs()[:4]
+        h = b.hash_no_pad(l + r)
+        b.register_public_inputs(h)
+        return None
+
+    fw.add_leaf_circuit("leaf", leaf_build)
+    fw.add_aggregation_circuit("node", 2, agg_build)
+    fw.finalize()
+
+    vals = [7, 8, 9, 10]
+    hs = [list(p2h.hash_no_pad([v])) for v in vals]
+    serial = [fw.prove_leaf("leaf", (v,), h) for v, h in zip(vals, hs)]
+    batched = fw.prove_leaves_batch(
+        "leaf", [(v,) for v in vals], hs
+    )
+    assert all(fw.verify(e) for e in batched)
+    for s, b_ in zip(serial, batched):
+        assert proof_to_dict(s.proof) == proof_to_dict(b_.proof)
+
+    # one reduce level, batched
+    h01 = list(p2h.hash_no_pad(hs[0] + hs[1]))
+    h23 = list(p2h.hash_no_pad(hs[2] + hs[3]))
+    serial_agg = fw.prove_aggregation("node", [serial[0], serial[1]], (), h01)
+    batched_aggs = fw.prove_aggregations_batch(
+        "node",
+        [[batched[0], batched[1]], [batched[2], batched[3]]],
+        [(), ()],
+        [h01, h23],
+    )
+    assert all(fw.verify(e) for e in batched_aggs)
+    assert proof_to_dict(serial_agg.proof) == proof_to_dict(
+        batched_aggs[0].proof
+    )
