@@ -900,9 +900,8 @@ class ValuesExtractionCircuits:
             self.fw.add_aggregation_circuit(f"branch{arity}", arity, make())
         self.fw.finalize()
 
-    def prove_leaf(self, node_bytes: bytes, key_nibbles: Sequence[int],
-                   evm_word: int = 0):
-        # leaf PI values are recomputed host-side for the claimed PIs
+    def _leaf_single_job(self, node_bytes: bytes, key_nibbles, evm_word=0):
+        """(member, assign args, claimed PIs) for one simple-slot leaf."""
         from mp2_tpu.utils.keccak import keccak256
         from mp2_tpu.utils.u256 import left_pad32 as lp32
         from mp2_tpu.utils import rlp as rlp_mod
@@ -917,14 +916,19 @@ class ValuesExtractionCircuits:
             host_leaf_s(node_bytes),
         )
         name = "leaf_single" if evm_word == 0 else f"leaf_single_w{evm_word}"
-        return (
-            self.fw.prove_leaf(name, (node_bytes, key_nibbles), pis),
-            pis,
-        )
+        return name, (node_bytes, key_nibbles), pis
 
-    def prove_leaf_mapping(self, node_bytes: bytes, mapping_key: bytes):
-        """Prove a mapping-table leaf; the trie key is derived host-side
-        for the PI claim and re-derived in-circuit from the witnessed key."""
+    def prove_leaf(self, node_bytes: bytes, key_nibbles: Sequence[int],
+                   evm_word: int = 0):
+        name, args, pis = self._leaf_single_job(
+            node_bytes, key_nibbles, evm_word
+        )
+        return self.fw.prove_leaf(name, args, pis), pis
+
+    def _leaf_mapping_job(self, node_bytes: bytes, mapping_key: bytes):
+        """(member, args, PIs) for a mapping leaf; the trie key is derived
+        host-side for the PI claim and re-derived in-circuit from the
+        witnessed key."""
         from mp2_tpu.extraction import storage_key as SKmod
         from mp2_tpu.extraction import values as Vmod
         from mp2_tpu.utils.keccak import keccak256
@@ -947,16 +951,18 @@ class ValuesExtractionCircuits:
             keccak256(node_bytes), dv, dm, 1, key_nibbles,
             host_leaf_s(node_bytes),
         )
-        env = self.fw.prove_leaf(
-            "leaf_mapping", (node_bytes, lp32(mapping_key)), pis
-        )
-        return env, pis
+        return "leaf_mapping", (node_bytes, lp32(mapping_key)), pis
 
-    def prove_leaf_mapping_of_mappings(
+    def prove_leaf_mapping(self, node_bytes: bytes, mapping_key: bytes):
+        name, args, pis = self._leaf_mapping_job(node_bytes, mapping_key)
+        return self.fw.prove_leaf(name, args, pis), pis
+
+    def _leaf_mm_job(
         self, node_bytes: bytes, outer_key: bytes, inner_key: bytes
     ):
-        """Prove a nested-mapping leaf: both keys witnessed, nested storage
-        location + trie key re-derived in-circuit."""
+        """(member, args, PIs) for a nested-mapping leaf: both keys
+        witnessed, nested storage location + trie key re-derived
+        in-circuit."""
         from mp2_tpu.extraction import storage_key as SKmod
         from mp2_tpu.extraction import values as Vmod
         from mp2_tpu.utils.keccak import keccak256
@@ -979,11 +985,17 @@ class ValuesExtractionCircuits:
             keccak256(node_bytes), dv, dm, 1, key_nibbles,
             host_leaf_s(node_bytes),
         )
-        env = self.fw.prove_leaf(
+        return (
             "leaf_mapping_of_mappings",
-            (node_bytes, lp32(outer_key), lp32(inner_key)), pis,
+            (node_bytes, lp32(outer_key), lp32(inner_key)),
+            pis,
         )
-        return env, pis
+
+    def prove_leaf_mapping_of_mappings(
+        self, node_bytes: bytes, outer_key: bytes, inner_key: bytes
+    ):
+        name, args, pis = self._leaf_mm_job(node_bytes, outer_key, inner_key)
+        return self.fw.prove_leaf(name, args, pis), pis
 
     def prove_branch(self, node_bytes: bytes, children, child_pis, slots):
         from mp2_tpu.field.ecgfp5 import Point
@@ -1052,18 +1064,17 @@ class ValuesExtractionCircuits:
                 assert parent_of.get(c, p) == p, "inconsistent proof paths"
                 parent_of[c] = p
 
-        proven: Dict[bytes, tuple] = {}
+        # one (member, args, claimed PIs) job per distinct leaf node
+        jobs: Dict[bytes, tuple] = {}
         for entry, nodes in paths.items():
             leaf = nodes[-1]
             h = keccak256(leaf)
-            if h in proven:
+            if h in jobs:
                 continue
             if self._mapping is not None:
-                proven[h] = self.prove_leaf_mapping(leaf, leaf_args[entry])
+                jobs[h] = self._leaf_mapping_job(leaf, leaf_args[entry])
             elif self._mapping_of_mappings is not None:
-                proven[h] = self.prove_leaf_mapping_of_mappings(
-                    leaf, *leaf_args[entry]
-                )
+                jobs[h] = self._leaf_mm_job(leaf, *leaf_args[entry])
             else:
                 args = leaf_args[entry]
                 if (
@@ -1071,9 +1082,29 @@ class ValuesExtractionCircuits:
                     and isinstance(args[1], int)
                     and not isinstance(args[0], int)
                 ):  # (key_nibbles, evm_word) for struct words
-                    proven[h] = self.prove_leaf(leaf, args[0], args[1])
+                    jobs[h] = self._leaf_single_job(leaf, args[0], args[1])
                 else:
-                    proven[h] = self.prove_leaf(leaf, args)
+                    jobs[h] = self._leaf_single_job(leaf, args)
+
+        proven: Dict[bytes, tuple] = {}
+        import os as _os
+
+        batch = len(jobs) > 1 and bool(_os.environ.get("MP2_BATCH_LEAVES"))
+        if batch:
+            # the map phase proper: same-member leaves proved B-per-dispatch
+            # through the batched prover at every stage incl. the wraps
+            by_member: Dict[str, List[bytes]] = {}
+            for h, (name, _, _) in jobs.items():
+                by_member.setdefault(name, []).append(h)
+            for name, hs in by_member.items():
+                envs = self.fw.prove_leaves_batch(
+                    name, [jobs[h][1] for h in hs], [jobs[h][2] for h in hs]
+                )
+                for h, env in zip(hs, envs):
+                    proven[h] = (env, jobs[h][2])
+        else:
+            for h, (name, args, pis) in jobs.items():
+                proven[h] = (self.fw.prove_leaf(name, args, pis), pis)
 
         kids: Dict[bytes, set] = {}
         for c, p in parent_of.items():
