@@ -268,6 +268,9 @@ def verify_envelope(params: PublicParameters, env_dict: Dict) -> bool:
         params.lx.fw if params.lx else None,
         params.vdb.cells, params.vdb.rows, params.vdb.block, params.vdb.ivc,
     ):
-        if fw is not None and env.member in fw.members:
-            return fw.verify(env)
+        # member NAMES repeat across sets (both values sets have
+        # "extension"/"branchN"); try every owner — the set digest riding
+        # in the proof makes acceptance unambiguous
+        if fw is not None and env.member in fw.members and fw.verify(env):
+            return True
     return False
