@@ -463,7 +463,17 @@ def build_row_dummy(b, p, W):
     reference's generate_dummy_row_proof_inputs role,
     revelation_unproven_offset.rs:649): the matching flag is pinned to 0,
     so the revelation's per-row checks are all vacuous; the query hashes
-    are witnessed so the dummy can agree with the real rows' query."""
+    are witnessed so the dummy can agree with the real rows' query.
+
+    Safety against misuse in the CHUNKED (completeness-proving) path,
+    where any row-set member may appear: the dummy's boundary info and
+    index root are constant ZERO.  are_consecutive_rows rejects a zero
+    boundary in every position (the index-tree side requires found,
+    in-range neighbors with matching hashes; a real node's hash is never
+    zero), a single-dummy chunk exposes index_root = 0 which can never
+    equal the IVC block-tree root the revelation pins, and chunk merges
+    require equal index roots — so a dummy can pad ONLY the tabular
+    revelation, where pred = 0 neutralizes it by construction."""
     comp = b.add_inputs(4)
     ph = b.add_inputs(4)
     pis = list(comp) + list(ph)
