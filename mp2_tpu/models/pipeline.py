@@ -1,4 +1,10 @@
-"""Flagship end-to-end pipeline: Ethereum state -> verifiable DB -> SQL query.
+"""HOST-GOLDEN end-to-end pipeline: Ethereum state -> verifiable DB -> SQL.
+
+NOTE: the FLAGSHIP pipeline with real proofs at every stage is
+`models.circuit_pipeline.CircuitTableIndexer` / `MergedTableIndexer`; this
+module is the exact-value golden model it is tested against (and the
+fixture factory both share).  Kept because the host model computes every
+cross-layer value independently of the circuits.
 
 The minimum end-to-end slice of SURVEY.md §7.5, at host-golden level with the
 recursion framework's proof envelopes: every stage consumes/produces the same
