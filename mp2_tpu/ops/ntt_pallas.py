@@ -145,10 +145,37 @@ def _bitrev_fix(lo, hi, log_n):
     return lo, hi
 
 
+def _dit_body(lo, hi, twlo_ref, twhi_ref, log_n: int):
+    """Shared tile body: in-VMEM bitrev + all DIT stages + scale row."""
+    n = 1 << log_n
+    rows = lo.shape[0]
+    lo, hi = _bitrev_fix(lo, hi, log_n)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (rows, n), 1)
+    for s in range(log_n):
+        h = 1 << s
+        twl = twlo_ref[s, :][None, :]
+        twh = twhi_ref[s, :][None, :]
+        yl, yh = K.mul(lo, hi, jnp.broadcast_to(twl, lo.shape),
+                       jnp.broadcast_to(twh, hi.shape))
+        yl_l = pltpu.roll(yl, n - h, 1)
+        yh_l = pltpu.roll(yh, n - h, 1)
+        xl_r = pltpu.roll(lo, h, 1)
+        xh_r = pltpu.roll(hi, h, 1)
+        al, ah = K.add(lo, hi, yl_l, yh_l)
+        nbl, nbh = _neg(yl, yh)
+        bl, bh = K.add(xl_r, xh_r, nbl, nbh)
+        is_low = ((lane >> s) & jnp.uint32(1)) == jnp.uint32(0)
+        lo = jnp.where(is_low, al, bl)
+        hi = jnp.where(is_low, ah, bh)
+    twl = twlo_ref[log_n, :][None, :]
+    twh = twhi_ref[log_n, :][None, :]
+    return K.mul(lo, hi, jnp.broadcast_to(twl, lo.shape),
+                 jnp.broadcast_to(twh, hi.shape))
+
+
 def _make_fused_kernel(log_n: int, with_twiddle: bool):
     """Natural-order-input NTT tile kernel: in-VMEM bitrev + all DIT stages
     (+ optional per-element twiddle block + scale row)."""
-    n = 1 << log_n
 
     def kernel(*refs):
         if with_twiddle:
@@ -157,32 +184,39 @@ def _make_fused_kernel(log_n: int, with_twiddle: bool):
             x_ref, twlo_ref, twhi_ref, out_ref = refs
         lo = x_ref[:TILE_R, :]
         hi = x_ref[TILE_R:, :]
-        lo, hi = _bitrev_fix(lo, hi, log_n)
-        lane = jax.lax.broadcasted_iota(jnp.uint32, (TILE_R, n), 1)
-        for s in range(log_n):
-            h = 1 << s
-            twl = twlo_ref[s, :][None, :]
-            twh = twhi_ref[s, :][None, :]
-            yl, yh = K.mul(lo, hi, jnp.broadcast_to(twl, lo.shape),
-                           jnp.broadcast_to(twh, hi.shape))
-            yl_l = pltpu.roll(yl, n - h, 1)
-            yh_l = pltpu.roll(yh, n - h, 1)
-            xl_r = pltpu.roll(lo, h, 1)
-            xh_r = pltpu.roll(hi, h, 1)
-            al, ah = K.add(lo, hi, yl_l, yh_l)
-            nbl, nbh = _neg(yl, yh)
-            bl, bh = K.add(xl_r, xh_r, nbl, nbh)
-            is_low = ((lane >> s) & jnp.uint32(1)) == jnp.uint32(0)
-            lo = jnp.where(is_low, al, bl)
-            hi = jnp.where(is_low, ah, bh)
-        twl = twlo_ref[log_n, :][None, :]
-        twh = twhi_ref[log_n, :][None, :]
-        lo, hi = K.mul(lo, hi, jnp.broadcast_to(twl, lo.shape),
-                       jnp.broadcast_to(twh, hi.shape))
+        lo, hi = _dit_body(lo, hi, twlo_ref, twhi_ref, log_n)
         if with_twiddle:
             lo, hi = K.mul(lo, hi, blo_ref[:TILE_R, :], bhi_ref[:TILE_R, :])
         out_ref[:TILE_R, :] = lo
         out_ref[TILE_R:, :] = hi
+
+    return kernel
+
+
+def _make_fused_kernel_t(log_n: int, with_twiddle: bool, transpose_out: bool):
+    """Transpose-fused tile kernel: the (n, TILE_R) input block is a
+    COLUMN slab of the operand matrix, transposed in VMEM instead of via
+    an HBM round-trip between the four-step passes; with `transpose_out`
+    the result is stored back as a column slab too (pass 2), so NO
+    host/XLA transposes remain in the whole pipeline."""
+
+    def kernel(*refs):
+        if with_twiddle:
+            (lo_ref, hi_ref, twlo_ref, twhi_ref, blo_ref, bhi_ref,
+             olo_ref, ohi_ref) = refs
+        else:
+            lo_ref, hi_ref, twlo_ref, twhi_ref, olo_ref, ohi_ref = refs
+        lo = jnp.transpose(lo_ref[...])  # (TILE_R, n)
+        hi = jnp.transpose(hi_ref[...])
+        lo, hi = _dit_body(lo, hi, twlo_ref, twhi_ref, log_n)
+        if with_twiddle:
+            lo, hi = K.mul(lo, hi, blo_ref[...], bhi_ref[...])
+        if transpose_out:
+            olo_ref[...] = jnp.transpose(lo)
+            ohi_ref[...] = jnp.transpose(hi)
+        else:
+            olo_ref[...] = lo
+            ohi_ref[...] = hi
 
     return kernel
 
@@ -278,6 +312,102 @@ def _run_fused(lo, hi, log_n, tables, tw_pair, tiles_per_batch=1):
         out_t[:, :TILE_R].reshape(R, n),
         out_t[:, TILE_R:].reshape(R, n),
     )
+
+
+@lru_cache(maxsize=None)
+def _compiled_fused_t(log_n: int, m: int, n_tiles: int, with_twiddle: bool,
+                      transpose_out: bool, interpret: bool = False):
+    """Transpose-fused pass over a (B*?, ?) u32 plane pair.
+
+    Input planes have shape (B*n, m) column-slab layout (n = transform
+    length); blocks are (n, TILE_R) column slabs; tiles_per_batch =
+    m // TILE_R.  Output is (TILE_R, n) row blocks (pass 1) or (n, TILE_R)
+    column slabs again (pass 2, transpose_out)."""
+    n = 1 << log_n
+    tpb = m // TILE_R
+    col_spec = pl.BlockSpec(
+        (n, TILE_R), lambda i: (i // tpb, i % tpb), memory_space=pltpu.VMEM
+    )
+    specs = [
+        col_spec, col_spec,
+        pl.BlockSpec((log_n + 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((log_n + 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if with_twiddle:
+        specs += [
+            pl.BlockSpec((TILE_R, n), lambda i: (i % tpb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, n), lambda i: (i % tpb, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    if transpose_out:
+        out_spec = col_spec
+        out_rows = (n_tiles // tpb) * n
+        out_shape = (out_rows, m)
+    else:
+        out_spec = pl.BlockSpec(
+            (TILE_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = (n_tiles * TILE_R, n)
+    return pl.pallas_call(
+        _make_fused_kernel_t(log_n, with_twiddle, transpose_out),
+        grid=(n_tiles,),
+        in_specs=specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+            jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _run_fused_t(lo, hi, log_n, m, tables, tw_pair, transpose_out):
+    """One transpose-fused pass: planes (B*n, m) column-slab layout."""
+    n = 1 << log_n
+    rows, cols = lo.shape
+    assert cols == m and rows % n == 0 and m % TILE_R == 0
+    n_tiles = (rows // n) * (m // TILE_R)
+    twlo, twhi = tables
+    args = [lo, hi, jnp.asarray(twlo), jnp.asarray(twhi)]
+    if tw_pair is not None:
+        args += [jnp.asarray(tw_pair[0]), jnp.asarray(tw_pair[1])]
+    interpret = jax.devices()[0].platform == "cpu"
+    with jax.enable_x64(False):
+        out_lo, out_hi = _compiled_fused_t(
+            log_n, m, n_tiles, tw_pair is not None, transpose_out, interpret
+        )(*args)
+    return out_lo, out_hi
+
+
+def ntt_four_step_fused_t(xv: jax.Array, inverse: bool) -> jax.Array:
+    """Fully-fused four-step NTT: the matrix transposes between (and
+    around) the two butterfly passes happen INSIDE the pallas kernels as
+    VMEM tile transposes — zero XLA transpose/concatenate round-trips
+    through HBM.  Enable via MP2_NTT_FUSED_T=1 (prover/ntt.py)."""
+    B, n = xv.shape
+    log_n = n.bit_length() - 1
+    log1 = log_n // 2
+    log2 = log_n - log1
+    n1, n2 = 1 << log1, 1 << log2
+
+    # natural layout (B, n1, n2) = column slabs of length n1 per batch
+    lo = (xv & np.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(B * n1, n2)
+    hi = (xv >> np.uint64(32)).astype(jnp.uint32).reshape(B * n1, n2)
+    # pass 1: column transforms (length n1) + mid twiddle -> (B*n2, n1)
+    a_lo, a_hi = _run_fused_t(
+        lo, hi, log1, n2, _tables_unit_scale(log1, inverse),
+        _mid_twiddles_u32(log_n, inverse), transpose_out=False,
+    )
+    # pass 2: row transforms (length n2), stored back transposed so the
+    # flat output order is y[k1 + n1*k2]
+    c_lo, c_hi = _run_fused_t(
+        a_lo, a_hi, log2, n1, _tables_full_scale(log2, inverse, log_n),
+        None, transpose_out=True,
+    )
+    y_lo = c_lo.reshape(B, n)
+    y_hi = c_hi.reshape(B, n)
+    return y_lo.astype(jnp.uint64) | (y_hi.astype(jnp.uint64) << np.uint64(32))
 
 
 def ntt_four_step_fused(xv: jax.Array, inverse: bool) -> jax.Array:

@@ -172,12 +172,19 @@ def _ntt_four_step(x: GF, inverse: bool) -> GF:
     """
     if _pallas_ntt_available():
         try:
-            from mp2_tpu.ops.ntt_pallas import ntt_four_step_fused
+            import os as _os
+
+            if _os.environ.get("MP2_NTT_FUSED_T"):
+                from mp2_tpu.ops.ntt_pallas import (
+                    ntt_four_step_fused_t as _fused,
+                )
+            else:
+                from mp2_tpu.ops.ntt_pallas import ntt_four_step_fused as _fused
 
             batch = x.shape[:-1]
             n = x.shape[-1]
             flat = x.v.reshape(-1, n)
-            out = ntt_four_step_fused(flat, inverse)
+            out = _fused(flat, inverse)
             return GF(out.reshape(batch + (n,)))
         except Exception:
             _pallas_ntt_state["ok"] = False
