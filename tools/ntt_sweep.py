@@ -1,67 +1,90 @@
-"""Sweep NTT pallas tile heights on the real TPU: run one subprocess per
-MP2_NTT_TILE_R value and report the 2^22 forward-NTT wall time.
+"""A/B the NTT pipelines and tile heights on the attached accelerator —
+in ONE process (short-lived TPU subprocesses have wedged the axon tunnel;
+see the project memory note).
 
-Usage:  python tools/ntt_sweep.py [tile_r ...]
+Usage:  python tools/ntt_sweep.py [log_n]
+Sweeps: default fused pipeline vs transpose-fused (MP2_NTT_FUSED_T),
+then tile heights via in-process TILE_R overrides (new batch sizes force
+fresh traces, so the override is picked up per variant).
 """
 
-import json
 import os
-import subprocess
 import sys
+import time
 
-_CHILD = """
-import os, sys, time
-sys.path.insert(0, %(repo)r)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", os.path.join(%(repo)r, ".jax_cache")
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
 )
-import jax, jax.numpy as jnp
-import numpy as np
-from mp2_tpu.field import goldilocks as gl
-from mp2_tpu.field.goldilocks import GF
-from mp2_tpu.prover import ntt
 
-n = 1 << 22
-rng = np.random.default_rng(0)
-x = GF(jnp.asarray(rng.integers(0, gl.P, size=(n,), dtype=np.uint64)))
-fn = jax.jit(lambda v: ntt.ntt(v))
+import jax
+
+# honor an explicit CPU request even though the axon sitecustomize forces
+# jax_platforms=axon,cpu at interpreter start
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
 
 def sync(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    leaf.block_until_ready()
-    np.asarray(jax.device_get(leaf[..., :1]))
+    out.block_until_ready()
+    np.asarray(jax.device_get(out[..., :1]))
 
-t0 = time.perf_counter()
-sync(fn(x))
-compile_s = time.perf_counter() - t0
-best = None
-for _ in range(3):
+
+def bench(fn, x, iters=3, rounds=3):
     t0 = time.perf_counter()
-    for _ in range(3):
-        out = fn(x)
-    sync(out)
-    dt = (time.perf_counter() - t0) / 3
-    best = dt if best is None else min(best, dt)
-print("RESULT", os.environ.get("MP2_NTT_TILE_R", "8"), round(best * 1e3, 3),
-      "ms  (compile", round(compile_s, 1), "s)")
-"""
+    sync(fn(x))
+    compile_s = time.perf_counter() - t0
+    best = None
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(x)
+        sync(out)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best, compile_s
 
 
 def main():
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    tiles = [int(a) for a in sys.argv[1:]] or [8, 16, 32]
-    for t in tiles:
-        env = dict(os.environ, MP2_NTT_TILE_R=str(t))
-        r = subprocess.run(
-            [sys.executable, "-c", _CHILD % {"repo": repo}],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        for line in r.stdout.splitlines():
-            if line.startswith("RESULT"):
-                print(line, flush=True)
-                break
-        else:
-            print(f"TILE_R={t} FAILED:", r.stderr.strip()[-400:], flush=True)
+    from mp2_tpu.field import goldilocks as gl
+    from mp2_tpu.ops import ntt_pallas as NP
+
+    log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 22
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, gl.P, size=(1, n), dtype=np.uint64))
+
+    variants = [
+        ("fused", lambda v: NP.ntt_four_step_fused(v, False)),
+        ("fused_t", lambda v: NP.ntt_four_step_fused_t(v, False)),
+    ]
+    results = {}
+    for name, fn in variants:
+        try:
+            dt, comp = bench(fn, x)
+            results[name] = dt
+            print(f"RESULT {name} tile_r={NP.TILE_R} "
+                  f"{dt * 1e3:.3f} ms (compile {comp:.1f}s)", flush=True)
+        except Exception as e:
+            print(f"{name} FAILED: {e}", flush=True)
+
+    # tile-height sweep on the better variant (fresh traces per TILE_R:
+    # the batch geometry changes, so lru caches miss)
+    best = min(results, key=results.get) if results else "fused"
+    fn = dict(variants)[best]
+    for tile_r in (16, 32):
+        NP.TILE_R = tile_r
+        try:
+            dt, comp = bench(fn, x)
+            print(f"RESULT {best} tile_r={tile_r} "
+                  f"{dt * 1e3:.3f} ms (compile {comp:.1f}s)", flush=True)
+        except Exception as e:
+            print(f"{best} tile_r={tile_r} FAILED: {e}", flush=True)
 
 
 if __name__ == "__main__":
