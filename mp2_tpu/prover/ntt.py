@@ -171,23 +171,29 @@ def _ntt_four_step(x: GF, inverse: bool) -> GF:
     stages, mid twiddle fused into pass 1) linked by u32-plane transposes.
     """
     if _pallas_ntt_available():
-        try:
-            import os as _os
+        import os as _os
 
-            if _os.environ.get("MP2_NTT_FUSED_T"):
-                from mp2_tpu.ops.ntt_pallas import (
-                    ntt_four_step_fused_t as _fused,
-                )
-            else:
-                from mp2_tpu.ops.ntt_pallas import ntt_four_step_fused as _fused
+        from mp2_tpu.ops.ntt_pallas import (
+            ntt_four_step_fused,
+            ntt_four_step_fused_t,
+        )
 
-            batch = x.shape[:-1]
-            n = x.shape[-1]
-            flat = x.v.reshape(-1, n)
-            out = _fused(flat, inverse)
-            return GF(out.reshape(batch + (n,)))
-        except Exception:
-            _pallas_ntt_state["ok"] = False
+        variants = [ntt_four_step_fused]
+        if _os.environ.get("MP2_NTT_FUSED_T"):
+            # opt-in transpose-fused variant first; the default pipeline
+            # stays as a fallback so an unproven Mosaic lowering can't
+            # knock the whole prover down to the XLA path
+            variants.insert(0, ntt_four_step_fused_t)
+        batch = x.shape[:-1]
+        n = x.shape[-1]
+        flat = x.v.reshape(-1, n)
+        for fused in variants:
+            try:
+                out = fused(flat, inverse)
+                return GF(out.reshape(batch + (n,)))
+            except Exception:
+                continue
+        _pallas_ntt_state["ok"] = False
     return _ntt_four_step_xla(x, inverse)
 
 
