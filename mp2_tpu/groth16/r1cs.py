@@ -70,6 +70,33 @@ def _lc_zero() -> LC:
     return LC({}, 0, 0)
 
 
+def _lc_sum(lcs: Sequence[LC]) -> LC:
+    """Single-pass merge of many LCs (sum() via __add__ copies the
+    accumulator dict per step — quadratic on wide lincombs)."""
+    terms: Dict[int, int] = {}
+    const = 0
+    value = 0
+    for lc in lcs:
+        for w, c in lc.terms.items():
+            terms[w] = terms.get(w, 0) + c
+        const += lc.const
+        value += lc.value
+    return LC(terms, const, value)
+
+
+def _lc_comb(pairs: Sequence[Tuple[int, LC]], const: int = 0) -> LC:
+    """sum(k * lc) + const in one pass (fuses scale into the merge)."""
+    terms: Dict[int, int] = {}
+    c_acc = const
+    v_acc = const
+    for k, lc in pairs:
+        for w, c in lc.terms.items():
+            terms[w] = terms.get(w, 0) + k * c
+        c_acc += k * lc.const
+        v_acc += k * lc.value
+    return LC(terms, c_acc, v_acc)
+
+
 class R1CS:
     def __init__(self):
         self.witness: List[int] = [1]  # wire 0 = constant 1
@@ -134,13 +161,26 @@ class R1CS:
         return l
 
     def bits_of(self, value: int, n: int) -> Tuple[LC, List[LC]]:
-        """n fresh bit wires + their weighted sum as an LC (no sum wire)."""
+        """n fresh bit wires + their weighted sum as an LC (no sum wire).
+
+        Hot path: wires, booleanity rows and the weighted-sum LC are built
+        directly (the generic bit()/__add__ route copies the accumulator
+        dict per bit — quadratic in n)."""
         assert 0 <= value < (1 << n), "value out of declared bit range"
-        bits = [self.bit((value >> i) & 1) for i in range(n)]
-        acc = _lc_zero()
-        for i, b in enumerate(bits):
-            acc = acc + b.scale(1 << i)
-        return acc, bits
+        wit = self.witness
+        rows = self.rows
+        wbase = len(wit)
+        bits: List[LC] = []
+        acc_terms: Dict[int, int] = {}
+        for i in range(n):
+            v = (value >> i) & 1
+            w = wbase + i
+            wit.append(v)
+            # booleanity: w * (w - 1) == 0
+            rows.append(({w: 1}, {w: 1, 0: R_FR - 1}, {}))
+            bits.append(LC({w: 1}, 0, v))
+            acc_terms[w] = 1 << i
+        return LC(acc_terms, 0, value), bits
 
     # -------------------------------------------------- Goldilocks gadgets
     def _enforce_lt_p(self, r_bits: List[LC]) -> None:
@@ -149,31 +189,35 @@ class R1CS:
         hi_and = r_bits[32]
         for b in r_bits[33:64]:
             hi_and = self.mul(hi_and, b)
-        lo_sum = _lc_zero()
-        for i, b in enumerate(r_bits[:32]):
-            lo_sum = lo_sum + b.scale(1 << i)
+        lo_sum = _lc_comb([(1 << i, b) for i, b in enumerate(r_bits[:32])])
         self.enforce(hi_and, lo_sum, self.const_lc(0))
 
-    def gl_reduce(self, x: LC, in_bits: int) -> LC:
+    def gl_reduce(self, x: LC, in_bits: int, canonical: bool = True) -> LC:
         """x (TRUE value in [0, 2^in_bits)) -> x mod P_GL.  Witnessed q, r
-        with x = q*P + r, q range-checked, r 64-bit with r < P."""
+        with x = q*P + r, q range-checked, r 64-bit.
+
+        canonical=False skips the r < P check: the result is then SOME
+        64-bit representative of x mod P (the honest witness is always the
+        canonical one, but a prover may add P when r < 2^64 - P).  That is
+        sound wherever only congruence mod P is consumed — `connect`
+        enforces congruence with a witnessed quotient and `decompose_bits`
+        re-reduces canonically first — so intermediate sbox chains take the
+        cheap form and skip the 32-row AND-chain."""
         xv = x.value
         assert 0 <= xv < (1 << in_bits), "gl_reduce: value exceeds bits"
         q, r = divmod(xv, P_GL)
         q_bits = max(in_bits - 63, 1)
         q_lc, _ = self.bits_of(q, q_bits)
         r_lc, rb = self.bits_of(r, 64)
-        self._enforce_lt_p(rb)
-        self.enforce_zero(x + q_lc.scale(-P_GL) + r_lc.scale(-1))
+        if canonical:
+            self._enforce_lt_p(rb)
+        self.enforce_zero(_lc_comb([(1, x), (-P_GL, q_lc), (-1, r_lc)]))
         return r_lc
 
     def gl_input_check(self, x: LC) -> None:
         """Bind a witnessed input to canonical Goldilocks: 64-bit + < P."""
-        _, bits = self.bits_of(x.value, 64)
-        acc = _lc_zero()
-        for i, b in enumerate(bits):
-            acc = acc + b.scale(1 << i)
-        self.enforce_zero(x + acc.scale(-1))
+        acc, bits = self.bits_of(x.value, 64)
+        self.enforce_zero(_lc_comb([(1, x), (-1, acc)]))
         self._enforce_lt_p(bits)
 
     def mul_true(self, a: LC, b: LC) -> LC:
@@ -189,13 +233,16 @@ class R1CS:
     def _sbox(self, x: LC, in_bits: int) -> LC:
         """x^7 mod P with LAZY reduction: unreduced 192-bit intermediates
         are safe in Fr (~2^254), so only x^3 and x^7 pay a reduction —
-        2 reductions instead of 4 per sbox."""
+        2 reductions instead of 4 per sbox.  All reductions are
+        NON-canonical (64-bit representatives): the permutation only needs
+        congruence mod P internally, and the final outputs are
+        canonicalized once in poseidon2_permute."""
         if in_bits > 64:
-            x = self.gl_reduce(x, in_bits)
+            x = self.gl_reduce(x, in_bits, canonical=False)
         x2 = self.mul_true(x, x)          # < 2^128
-        x3 = self.gl_reduce(self.mul_true(x2, x), 192)
+        x3 = self.gl_reduce(self.mul_true(x2, x), 192, canonical=False)
         x6 = self.mul_true(x3, x3)        # < 2^128
-        return self.gl_reduce(self.mul_true(x6, x), 192)
+        return self.gl_reduce(self.mul_true(x6, x), 192, canonical=False)
 
     @staticmethod
     def _ext_linear(state: List[LC]) -> List[LC]:
@@ -203,27 +250,32 @@ class R1CS:
         for i in range(0, WIDTH, 4):
             c = state[i : i + 4]
             chunks.append([
-                sum((c[j].scale(M4[i2][j]) for j in range(4)), _lc_zero())
+                _lc_comb([(M4[i2][j], c[j]) for j in range(4)])
                 for i2 in range(4)
             ])
-        total = [
-            sum((ch[i2] for ch in chunks), _lc_zero()) for i2 in range(4)
-        ]
+        total = [_lc_sum([ch[i2] for ch in chunks]) for i2 in range(4)]
         out: List[LC] = []
         for ch in chunks:
             out.extend(ch[i2] + total[i2] for i2 in range(4))
         return out
 
     def _int_linear(self, state: List[LC]) -> List[LC]:
-        s = sum(state[1:], state[0])
-        out = [s + state[i].scale(_INT_DIAG[i] - 1) for i in range(WIDTH)]
+        s = _lc_sum(state)
+        out = [
+            _lc_sum([s, state[i].scale(_INT_DIAG[i] - 1)])
+            for i in range(WIDTH)
+        ]
         # normalize: flat coefficients mod P keep magnitudes ~2^134
         # regardless of round depth
         return [self.normalize_gl(x) for x in out]
 
     def poseidon2_permute(self, state: List[LC]) -> List[LC]:
-        """Mirrors poseidon2_host.permute; inputs must be reduced (< P).
-        Outputs reduced."""
+        """Mirrors poseidon2_host.permute; inputs must be 64-bit-bounded
+        representatives mod P (canonical not required — the magnitude
+        analysis below only uses < 2^64).  Outputs are 64-bit
+        representatives (canonical in the honest witness; consumers
+        compare via congruence or exact Fr equality, both of which are
+        sound against a +P shift)."""
         # magnitude bound of a normalized flat lincomb: coefficients and
         # wire values < P => each term < P^2 < 2^128; the internal-round
         # lincombs span <= 12 + 22 wires + const, so value < 2^134
@@ -246,7 +298,7 @@ class R1CS:
             st = [self._sbox(x, NORM_BITS if first else EXT_BITS) for x in st]
             st = self._ext_linear(st)
             first = False
-        return [self.gl_reduce(x, EXT_BITS) for x in st]
+        return [self.gl_reduce(x, EXT_BITS, canonical=False) for x in st]
 
     def poseidon2_hash_no_pad(self, inputs: List[LC], num_outputs: int = 4
                               ) -> List[LC]:

@@ -80,13 +80,20 @@ class R1CSBuilder:
         self.r1cs.enforce_zero(lc + acc.scale(-1))
         self._bound[t] = 1 << 64
 
-    def _reduce(self, t: int) -> int:
-        """Canonicalize to [0, P)."""
-        if self._bound[t] <= P:
+    def _reduce(self, t: int, canonical: bool = False) -> int:
+        """Reduce to a small representative mod P.  canonical=True gives
+        the unique value in [0, P) (needed before bit decompositions);
+        the default gives SOME 64-bit representative, which is all the
+        lazy-mul path and the Poseidon2 permutation need (congruence is
+        what `connect` and the hash constraints consume) and skips the
+        32-row < P AND-chain."""
+        if self._bound[t] <= (P if canonical else 1 << 64):
             return t
         lc = self._get(t)
-        r = self.r1cs.gl_reduce(lc, self._bound[t].bit_length())
-        return self._new(r, P)
+        r = self.r1cs.gl_reduce(
+            lc, self._bound[t].bit_length(), canonical=canonical
+        )
+        return self._new(r, P if canonical else 1 << 64)
 
     def _maybe_reduce_for_mul(self, a: int, b: int):
         if (
@@ -194,7 +201,7 @@ class R1CSBuilder:
     def decompose_bits(self, t: int, n: int) -> List[int]:
         """Canonical value of t decomposed into n bits (constrains the
         value < 2^n; n=64 with the <P check when full width)."""
-        c = self._reduce(t)
+        c = self._reduce(t, canonical=True)
         lc = self._get(c)
         assert lc.value < (1 << n), "decompose_bits: value exceeds range"
         acc, bits = self.r1cs.bits_of(lc.value, n)
@@ -205,7 +212,9 @@ class R1CSBuilder:
     def poseidon2_permute(self, state: List[int]) -> List[int]:
         lcs = [self._get(self._reduce(t)) for t in state]
         out = self.r1cs.poseidon2_permute(lcs)
-        return [self._new(o, P) for o in out]
+        # outputs are 64-bit representatives, not canonical — bound 2^64
+        # makes decompose_bits re-canonicalize before any bit extraction
+        return [self._new(o, 1 << 64) for o in out]
 
     def hash_no_pad(self, inputs: List[int], num_outputs: int = 4) -> List[int]:
         from mp2_tpu.hash.constants import RATE, WIDTH

@@ -198,7 +198,15 @@ def _make_fused_kernel_t(log_n: int, with_twiddle: bool, transpose_out: bool):
     COLUMN slab of the operand matrix, transposed in VMEM instead of via
     an HBM round-trip between the four-step passes; with `transpose_out`
     the result is stored back as a column slab too (pass 2), so NO
-    host/XLA transposes remain in the whole pipeline."""
+    host/XLA transposes remain in the whole pipeline.
+
+    STATUS (measured 2026-08-18 on TPU v5e): interpret-mode bit-exact,
+    but REJECTED by the real Mosaic lowering — block last-two dims must
+    be divisible by (8, 128) and the column slab is (n, TILE_R=8).
+    Making it legal needs TILE_R=128 column slabs (~8 MB VMEM per grid
+    step), and the XLA transposes it would save measure <1 ms of the
+    ~10-20 ms pipeline, so the default pipeline stays `fused`; this is
+    kept as the documented experiment behind MP2_NTT_FUSED_T=1."""
 
     def kernel(*refs):
         if with_twiddle:

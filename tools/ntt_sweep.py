@@ -59,9 +59,11 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, gl.P, size=(1, n), dtype=np.uint64))
 
+    # each variant MUST be jitted: eager dispatch over the axon tunnel
+    # costs ~100ms per inter-kernel reshape/concat, swamping the kernels
     variants = [
-        ("fused", lambda v: NP.ntt_four_step_fused(v, False)),
-        ("fused_t", lambda v: NP.ntt_four_step_fused_t(v, False)),
+        ("fused", jax.jit(lambda v: NP.ntt_four_step_fused(v, False))),
+        ("fused_t", jax.jit(lambda v: NP.ntt_four_step_fused_t(v, False))),
     ]
     results = {}
     for name, fn in variants:
@@ -73,14 +75,19 @@ def main():
         except Exception as e:
             print(f"{name} FAILED: {e}", flush=True)
 
-    # tile-height sweep on the better variant (fresh traces per TILE_R:
-    # the batch geometry changes, so lru caches miss)
+    # tile-height sweep on the better variant (fresh jit wrapper per
+    # TILE_R — the wrapper would otherwise reuse the first trace and
+    # ignore the override; the inner lru caches key on n_tiles so they
+    # miss naturally)
     best = min(results, key=results.get) if results else "fused"
-    fn = dict(variants)[best]
+    raw = {
+        "fused": lambda v: NP.ntt_four_step_fused(v, False),
+        "fused_t": lambda v: NP.ntt_four_step_fused_t(v, False),
+    }[best]
     for tile_r in (16, 32):
         NP.TILE_R = tile_r
         try:
-            dt, comp = bench(fn, x)
+            dt, comp = bench(jax.jit(raw), x)
             print(f"RESULT {best} tile_r={tile_r} "
                   f"{dt * 1e3:.3f} ms (compile {comp:.1f}s)", flush=True)
         except Exception as e:
