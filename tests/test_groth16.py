@@ -60,6 +60,62 @@ def test_r1cs_gadgets_satisfy():
     assert r.check()
 
 
+def test_r1cs_reduce_canonicity():
+    """The non-canonical reduce admits exactly the +P representative (the
+    documented malleability, sound where only congruence is consumed);
+    the canonical reduce rejects the same witness via the < P AND-chain."""
+    from mp2_tpu.groth16.r1cs import R1CS
+
+    P = (1 << 64) - (1 << 32) + 1
+    Q_BITS = 7  # gl_reduce(in_bits=70) allocates max(70-63, 1) q bits
+
+    def build(canonical):
+        r = R1CS()
+        x = r.public_input(P + 5)  # true value > P: honest (q, r) = (1, 5)
+        out = r.gl_reduce(x.scale(1), 70, canonical=canonical)
+        return r, out
+
+    def shift_witness_by_p(r, out):
+        """Rewrite the reduction witness to the OTHER valid pair
+        (q, r) = (0, P + 5): r + P still fits 64 bits."""
+        r_wires = sorted(out.terms)  # bit wires of r, coeff 2^i
+        q_wires = range(r_wires[0] - Q_BITS, r_wires[0])
+        alt = P + 5
+        for i, w in enumerate(r_wires):
+            r.witness[w] = (alt >> i) & 1
+        for w in q_wires:
+            r.witness[w] = 0
+        # fix the AND-chain's internal product wires (canonical form only):
+        # every row must be re-satisfiable for check() to isolate the
+        # violation to the final AND * lo_sum == 0 product row
+        for a, b, c in r.rows:
+            if len(a) == 1 and len(b) == 1 and len(c) == 1:
+                (wa, ca), (wb, cb), (wc, cc) = (
+                    next(iter(a.items())),
+                    next(iter(b.items())),
+                    next(iter(c.items())),
+                )
+                if wc > max(wa, wb) and ca == 1 and cb == 1 and cc == 1:
+                    r.witness[wc] = r.witness[wa] * r.witness[wb]
+
+    # canonical: (0, P+5) violates the r < P check
+    r, out = build(True)
+    shift_witness_by_p(r, out)
+    assert not r.check()
+
+    # non-canonical: (0, P+5) is an admitted representative (congruent
+    # mod P) — this is the documented malleability consumers must treat
+    # via congruence, which `connect` and decompose_bits' re-reduce do
+    r, out = build(False)
+    shift_witness_by_p(r, out)
+    assert r.check()
+
+    # honest witnesses satisfy both forms
+    for canonical in (True, False):
+        r, _ = build(canonical)
+        assert r.check()
+
+
 slow = pytest.mark.skipif(
     not __import__("os").environ.get("MP2_SLOW"),
     reason="set MP2_SLOW=1 for prove-heavy tests",
