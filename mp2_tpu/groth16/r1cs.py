@@ -32,7 +32,7 @@ Key representation choices:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from mp2_tpu.field.goldilocks import P as P_GL
 from mp2_tpu.hash.constants import M4, RATE, ROUNDS_F, ROUNDS_P, WIDTH, load_table
@@ -300,6 +300,67 @@ class R1CS:
             first = False
         return [self.gl_reduce(x, EXT_BITS, canonical=False) for x in st]
 
+    # ------------------------------------------------- template stamping
+    def poseidon2_permute_stamped(self, state: List[LC]) -> List[LC]:
+        """Same constraints as poseidon2_permute, but instantiated from a
+        RECORDED single-permutation template instead of re-deriving every
+        lincomb: the permutation's constraint structure is input-
+        independent (coefficients are round constants / matrix entries),
+        so one template stamps every instance by wire-offset remapping,
+        with witness values replayed from a compact op program.  Adds 12
+        input-compression wires+rows per call (inputs must be single
+        wires for the template map)."""
+        tpl = _perm_template()
+        # compress each input LC to a single wire (equality row)
+        in_wires: List[int] = []
+        for lc in state:
+            if len(lc.terms) == 1 and lc.const == 0:
+                (w, c), = lc.terms.items()
+                if c == 1:
+                    in_wires.append(w)
+                    continue
+            w = self.new_wire(lc.value % R_FR)
+            self.enforce_zero(_lc_comb([(1, lc), (-1, self.lc(w))]))
+            in_wires.append(w)
+        off = len(self.witness)
+        n_in = len(in_wires)
+        # flat template-wire -> instance-wire map (list indexing beats a
+        # per-term function call on the 58k-row remap)
+        wmap = [0] + in_wires + list(
+            range(off, off + tpl.n_wires - n_in - 1)
+        )
+        wit = self.witness
+
+        def ev(terms: Dict[int, int], const: int) -> int:
+            v = const
+            for w, c in terms.items():
+                v += c * wit[wmap[w]]
+            return v
+
+        for op in tpl.prog:
+            if op[0] == "mul":
+                _, at, ac, bt, bc = op
+                wit.append((ev(at, ac) % R_FR) * (ev(bt, bc) % R_FR) % R_FR)
+            else:  # ("reduce", x_terms, x_const, q_bits)
+                _, xt, xc, q_bits = op
+                q, r = divmod(ev(xt, xc), P_GL)
+                for i in range(q_bits):
+                    wit.append((q >> i) & 1)
+                for i in range(64):
+                    wit.append((r >> i) & 1)
+        rows = self.rows
+        for A, B, C in tpl.rows:
+            rows.append((
+                {wmap[w]: c for w, c in A.items()},
+                {wmap[w]: c for w, c in B.items()},
+                {wmap[w]: c for w, c in C.items()},
+            ))
+        return [
+            LC({wmap[w]: c for w, c in o.terms.items()}, o.const,
+               ev(o.terms, o.const))
+            for o in tpl.outs
+        ]
+
     def poseidon2_hash_no_pad(self, inputs: List[LC], num_outputs: int = 4
                               ) -> List[LC]:
         """Overwrite-mode sponge (hash_n_to_m_no_pad semantics)."""
@@ -353,6 +414,48 @@ class R1CS:
             pack(0), pack(1), pack(2),
             np.asarray(wl, dtype=np.uint64).reshape(-1, 4),
         )
+
+
+class _PermTemplate:
+    """One recorded Poseidon2 permutation: rows over template wire ids
+    (0 = const 1, 1..12 = inputs, 13.. = internals), output LCs, and the
+    ordered witness program (mul products and divmod bit fills)."""
+
+    def __init__(self, rows, outs, prog, n_wires):
+        self.rows = rows
+        self.outs = outs
+        self.prog = prog
+        self.n_wires = n_wires
+
+
+class _Recorder(R1CS):
+    def __init__(self):
+        super().__init__()
+        self.prog: List[tuple] = []
+
+    def mul(self, a: LC, b: LC) -> LC:
+        self.prog.append(("mul", dict(a.terms), a.const,
+                          dict(b.terms), b.const))
+        return super().mul(a, b)
+
+    def gl_reduce(self, x: LC, in_bits: int, canonical: bool = True) -> LC:
+        self.prog.append(
+            ("reduce", dict(x.terms), x.const, max(in_bits - 63, 1))
+        )
+        return super().gl_reduce(x, in_bits, canonical)
+
+
+_PERM_TEMPLATE: Optional[_PermTemplate] = None
+
+
+def _perm_template() -> _PermTemplate:
+    global _PERM_TEMPLATE
+    if _PERM_TEMPLATE is None:
+        t = _Recorder()
+        ins = [t.new_wire(0) for _ in range(WIDTH)]
+        outs = t.poseidon2_permute([t.lc(w) for w in ins])
+        _PERM_TEMPLATE = _PermTemplate(t.rows, outs, t.prog, len(t.witness))
+    return _PERM_TEMPLATE
 
 
 def build_pi_binding_circuit(pi_values: Sequence[int]) -> Tuple[R1CS, List[int]]:

@@ -211,7 +211,14 @@ class R1CSBuilder:
     # -------------------------------------------------------------- hashing
     def poseidon2_permute(self, state: List[int]) -> List[int]:
         lcs = [self._get(self._reduce(t)) for t in state]
-        out = self.r1cs.poseidon2_permute(lcs)
+        # stamped: identical constraints, instantiated from the recorded
+        # one-permutation template (MP2_G16_STAMP=0 re-derives per call)
+        import os
+
+        if os.environ.get("MP2_G16_STAMP", "1") != "0":
+            out = self.r1cs.poseidon2_permute_stamped(lcs)
+        else:
+            out = self.r1cs.poseidon2_permute(lcs)
         # outputs are 64-bit representatives, not canonical — bound 2^64
         # makes decompose_bits re-canonicalize before any bit extraction
         return [self._new(o, 1 << 64) for o in out]
