@@ -179,6 +179,15 @@ def _ntt_four_step(x: GF, inverse: bool) -> GF:
         )
 
         variants = [ntt_four_step_fused]
+        if _os.environ.get("MP2_NTT_MXU"):
+            # opt-in int8 systolic-array formulation (ops/ntt_mxu):
+            # bit-exact vs the butterfly pipeline (tests/test_ntt_mxu.py)
+            # but currently slower on v5e (31 ms vs 9.6 ms device time:
+            # XLA's s8 dot delivers ~70-80 TOPS and the u64-emulated
+            # recombine dominates) — stays opt-in until it wins
+            from mp2_tpu.ops.ntt_mxu import ntt_mxu_flat
+
+            variants.insert(0, ntt_mxu_flat)
         if _os.environ.get("MP2_NTT_FUSED_T"):
             # opt-in transpose-fused variant first; the default pipeline
             # stays as a fallback so an unproven Mosaic lowering can't
