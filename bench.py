@@ -113,10 +113,19 @@ def main():
     p2_s = _bench(p2.permute, (states,), iters=3)
     perms_per_s = POSEIDON_BATCH / p2_s
 
+    # calibrate the fixed per-dispatch cost of the axon tunnel (a trivial
+    # jitted op): every number above carries this constant, which a local
+    # PJRT client would not pay (~10-100 us there).  Reported, not
+    # subtracted — vs_baseline stays the honest wall number.
+    tiny = GF(jnp.arange(8, dtype=jnp.uint64))
+    dispatch_s = _bench(jax.jit(lambda v: gl.add_const(v, 1)), (tiny,), iters=10)
+
     extra = {
         "device": str(dev),
         "poseidon2_perms_per_s": int(perms_per_s),
         "poseidon2_batch": POSEIDON_BATCH,
+        "dispatch_overhead_ms": round(dispatch_s * 1e3, 2),
+        "ntt_ms_minus_dispatch": round(ntt_ms - dispatch_s * 1e3, 3),
     }
 
     if os.environ.get("BENCH_PROOFS", "1") != "0":
