@@ -1,28 +1,69 @@
 """Benchmark the prover hot kernels on the available accelerator.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Prints JSON result lines (the driver parses the LAST one in the tail):
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extra": ...}
 
 Primary metric: 2^22 Goldilocks NTT wall time (BASELINE.md north-star).
 The reference publishes no numbers (SURVEY.md §6), so vs_baseline is the
 ratio against the driver-set target of 10 ms for a 2^22 NTT (>1 = faster
-than target).  Extra measurements (Poseidon2 throughput) ride in "extra".
+than target).  Extra measurements (Poseidon2 throughput, batched proof
+throughput) ride in "extra".
+
+Robustness contract (round-2 lesson: rc=124 with zero output is a total
+loss):
+  1. The primary line (NTT + Poseidon2 + dispatch calibration) is printed
+     as soon as those numbers exist — BEFORE any proof-stage compile.
+  2. The proof-throughput stage runs in a SUBPROCESS with a hard timeout;
+     if it overruns or dies, the final line still prints with
+     "proofs": "skipped: <reason>".
+  3. A watchdog thread prints the best-known result and exits 0 at
+     BENCH_TOTAL_BUDGET seconds no matter what is stuck.
 """
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 # persistent compile cache: remote TPU compiles cost minutes each cold
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")
 )
 
-import jax
+LOG_N = int(os.environ.get("BENCH_LOG_N", "22"))
+POSEIDON_BATCH = int(os.environ.get("BENCH_P2_BATCH", str(1 << 18)))
+TARGET_NTT_MS = 10.0
+TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET", "900"))
+_T0 = time.time()
+
+# best-known result; the watchdog prints this if anything wedges
+_RESULT = {"metric": f"goldilocks_ntt_2pow{LOG_N}_ms", "value": None,
+           "unit": "ms", "vs_baseline": 0.0, "extra": {}}
+_PRINTED_FINAL = threading.Event()
+
+
+def _emit(final: bool = False):
+    print(json.dumps(_RESULT), flush=True)
+    if final:
+        _PRINTED_FINAL.set()
+
+
+def _remaining() -> float:
+    return TOTAL_BUDGET - (time.time() - _T0)
+
+
+def _watchdog():
+    while not _PRINTED_FINAL.is_set():
+        if _remaining() <= 0:
+            _RESULT["extra"]["watchdog"] = "budget exhausted; partial result"
+            _emit(final=True)
+            os._exit(0)
+        time.sleep(1.0)
 
 
 def _init_device(timeout_s: int):
@@ -31,7 +72,7 @@ def _init_device(timeout_s: int):
     can retry, rather than eating its whole bench budget.  Must run BEFORE
     the mp2_tpu imports (module-level jnp constants initialize the
     backend)."""
-    import threading
+    import jax
 
     out = {}
 
@@ -57,22 +98,9 @@ def _init_device(timeout_s: int):
     os._exit(3)
 
 
-_DEV = _init_device(int(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
-
-import jax.numpy as jnp
-import numpy as np
-
-from mp2_tpu.field import goldilocks as gl
-from mp2_tpu.field.goldilocks import GF
-from mp2_tpu.hash import poseidon2 as p2
-from mp2_tpu.prover import ntt
-
-LOG_N = int(os.environ.get("BENCH_LOG_N", "22"))
-POSEIDON_BATCH = int(os.environ.get("BENCH_P2_BATCH", str(1 << 18)))
-TARGET_NTT_MS = 10.0
-
-
 def _sync(out):
+    import jax
+    import numpy as np
     # device_get of one element forces execution; block_until_ready alone is
     # not reliable through the axon tunnel backend.
     leaf = jax.tree_util.tree_leaves(out)[0]
@@ -95,8 +123,66 @@ def _bench(fn, args, iters=5, rounds=3):
     return best
 
 
+def _proofs_stage():
+    """Batched map-phase throughput: B independent tree-node witnesses
+    proved per dispatch sequence (prover/batch.py), each proof
+    individually host-verifiable.  Run as `bench.py --proofs`: prints one
+    JSON dict with the measurements (consumed by the parent process)."""
+    _init_device(int(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
+    import numpy as np
+
+    from mp2_tpu.hash import poseidon2_host as p2h
+    from mp2_tpu.prover.batch import prove_batch
+    from mp2_tpu.prover.config import test_config
+    from mp2_tpu.recursion.tp2_backend import _build_tree_node
+
+    rng = np.random.default_rng(0)
+    B = int(os.environ.get("BENCH_PROOF_BATCH", "32"))
+    data, input_targets = _build_tree_node(test_config())
+    wits, pis_list = [], []
+    for _ in range(B):
+        vals = [int(v) for v in rng.integers(0, 2**31, 37)]
+        h = p2h.hash_no_pad(vals)
+        lh, rh = vals[0:4], vals[4:8]
+        mn, mx = vals[8:16], vals[16:24]
+        ident, value, inner = vals[24], vals[25:33], vals[33:37]
+        pis = list(h) + [ident] + value + mn + mx + lh + rh + inner
+        wits.append(data.generate_witness(dict(zip(input_targets, vals))))
+        pis_list.append(pis)
+    wits = np.stack(wits)
+    prove_batch(data, wits, pis_list)  # compile + warm
+    t0 = time.perf_counter()
+    prove_batch(data, wits, pis_list)
+    dt = time.perf_counter() - t0
+    out = {
+        "tree_node_proofs_per_s": round(B / dt, 2),
+        "proof_batch": B,
+    }
+    # Poseidon2 occupancy inside the staged prover (VERDICT r2 item 8):
+    # permutations actually executed per batched prove / the prove time.
+    try:
+        from mp2_tpu.prover.batch import permutation_count
+        perms = permutation_count(data) * B
+        out["poseidon2_perms_per_s_in_prover"] = int(perms / dt)
+        out["poseidon2_perms_per_prove"] = int(perms)
+    except Exception as e:  # never fail the stage over the extra metric
+        out["perm_count_err"] = repr(e)[:120]
+    print(json.dumps(out), flush=True)
+
+
 def main():
-    dev = _DEV
+    threading.Thread(target=_watchdog, daemon=True).start()
+    dev = _init_device(int(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mp2_tpu.field import goldilocks as gl
+    from mp2_tpu.field.goldilocks import GF
+    from mp2_tpu.hash import poseidon2 as p2
+    from mp2_tpu.prover import ntt
+
     n = 1 << LOG_N
     rng = np.random.default_rng(0)
 
@@ -120,83 +206,47 @@ def main():
     tiny = GF(jnp.arange(8, dtype=jnp.uint64))
     dispatch_s = _bench(jax.jit(lambda v: gl.add_const(v, 1)), (tiny,), iters=10)
 
-    extra = {
+    _RESULT["value"] = round(ntt_ms, 3)
+    _RESULT["vs_baseline"] = round(TARGET_NTT_MS / ntt_ms, 3)
+    _RESULT["extra"].update({
         "device": str(dev),
         "poseidon2_perms_per_s": int(perms_per_s),
         "poseidon2_batch": POSEIDON_BATCH,
         "dispatch_overhead_ms": round(dispatch_s * 1e3, 2),
         "ntt_ms_minus_dispatch": round(ntt_ms - dispatch_s * 1e3, 3),
-    }
+    })
+    _emit()  # PRIMARY line: on the wire before any proof-stage compile
 
     if os.environ.get("BENCH_PROOFS", "1") != "0":
-        # batched map-phase throughput: B independent tree-node witnesses
-        # proved per dispatch sequence (prover/batch.py), each proof
-        # individually host-verifiable
-        from mp2_tpu.hash import poseidon2_host as p2h
-        from mp2_tpu.prover.batch import prove_batch
-        from mp2_tpu.recursion.tp2_backend import _build_tree_node
-        from mp2_tpu.prover.config import test_config
+        budget = min(_remaining() - 30.0,
+                     float(os.environ.get("BENCH_PROOF_TIMEOUT", "600")))
+        if budget < 60:
+            _RESULT["extra"]["proofs"] = "skipped: insufficient budget"
+        else:
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--proofs"],
+                    capture_output=True, text=True, timeout=budget,
+                )
+                line = next(
+                    (ln for ln in reversed(r.stdout.splitlines())
+                     if ln.startswith("{")), None)
+                if r.returncode == 0 and line:
+                    _RESULT["extra"].update(json.loads(line))
+                else:
+                    _RESULT["extra"]["proofs"] = (
+                        f"failed rc={r.returncode}: {r.stderr[-200:]}")
+            except subprocess.TimeoutExpired:
+                _RESULT["extra"]["proofs"] = f"skipped: timeout {budget:.0f}s"
+            except Exception as e:
+                _RESULT["extra"]["proofs"] = f"skipped: {e!r}"[:200]
 
-        B = int(os.environ.get("BENCH_PROOF_BATCH", "32"))
-        data, input_targets = _build_tree_node(test_config())
-        wits, pis_list = [], []
-        for i in range(B):
-            vals = [int(v) for v in rng.integers(0, 2**31, 37)]
-            h = p2h.hash_no_pad(vals)
-            lh, rh = vals[0:4], vals[4:8]
-            mn, mx = vals[8:16], vals[16:24]
-            ident, value, inner = vals[24], vals[25:33], vals[33:37]
-            pis = list(h) + [ident] + value + mn + mx + lh + rh + inner
-            wits.append(data.generate_witness(dict(zip(input_targets, vals))))
-            pis_list.append(pis)
-        wits = np.stack(wits)
-        prove_batch(data, wits, pis_list)  # compile + warm
-        t0 = time.perf_counter()
-        proofs = prove_batch(data, wits, pis_list)
-        dt = time.perf_counter() - t0
-        extra["tree_node_proofs_per_s"] = round(B / dt, 2)
-        extra["proof_batch"] = B
-
-    if os.environ.get("BENCH_PROOFS_SERIAL"):
-        # repeat-prove throughput of the verifiable-DB tree-node circuit
-        # (map-phase pattern: one compiled circuit, many witnesses)
-        from mp2_tpu.recursion.framework import RecursiveCircuits
-        from mp2_tpu.recursion.tp2_backend import TP2Backend
-        from mp2_tpu.utils.u256 import u256_to_fields
-        from mp2_tpu.vdb import digests as D
-
-        fw = RecursiveCircuits(["rows_leaf"], backend=TP2Backend())
-        empty = list(D.EMPTY_HASH)
-        inner = list(D.EMPTY_HASH)
-
-        def mk_pis(v):
-            h = D.row_node_hash(None, None, v, v, 42, v, tuple(inner))
-            return (
-                list(h) + [42] + u256_to_fields(v) + u256_to_fields(v)
-                + u256_to_fields(v) + empty + empty + inner
-            )
-
-        fw.generate_proof("rows_leaf", [], mk_pis(1))  # warm compile
-        t0 = time.perf_counter()
-        iters = 5
-        for i in range(iters):
-            fw.generate_proof("rows_leaf", [], mk_pis(i + 2))
-        extra["tree_node_proofs_per_s"] = round(
-            iters / (time.perf_counter() - t0), 3
-        )
-
-    print(
-        json.dumps(
-            {
-                "metric": f"goldilocks_ntt_2pow{LOG_N}_ms",
-                "value": round(ntt_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(TARGET_NTT_MS / ntt_ms, 3),
-                "extra": extra,
-            }
-        )
-    )
+    _RESULT["extra"]["bench_wall_s"] = round(time.time() - _T0, 1)
+    _emit(final=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--proofs" in sys.argv:
+        _proofs_stage()
+    else:
+        main()

@@ -732,6 +732,50 @@ def prove_batch(
     return proofs
 
 
+def permutation_count(data: CircuitData) -> int:
+    """Analytic count of DEVICE Poseidon2 permutations executed per proof
+    by the staged batched prover (Merkle commitments + FRI fold trees +
+    the duplex challenger lane).  Used by bench.py to report effective
+    perms/s inside the prover (occupancy vs the standalone kernel)."""
+    cfg = data.config
+    n, log_n = data.n, data.log_n
+    rate = cfg.fri.rate_bits
+    big = n << rate
+    cap_h = min(cfg.fri.cap_height, log_n)
+    W = cfg.num_wires
+    nc = cfg.num_challenges
+    zc = nc * (1 + cfg.num_partial_products)
+    qc = nc * cfg.quotient_degree_factor
+
+    def tree(m: int, width: int, ch: int) -> int:
+        leaf = 0 if width <= 4 else -(-width // 8) * m  # hash_or_noop
+        return leaf + (m - (1 << ch))  # internal two_to_one nodes
+
+    total = tree(big, W, cap_h) + tree(big, zc, cap_h) + tree(big, qc, cap_h)
+    # FRI fold trees: pairs-of-ext leaves are width 4 (noop)
+    cur_log = log_n + rate
+    for _ in range(log_n - cfg.fri_final_poly_bits):
+        ch = min(cfg.fri.cap_height, cur_log - 1)
+        total += tree(1 << (cur_log - 1), 4, ch)
+        cur_log -= 1
+    # challenger duplex: one permutation per 8 absorbed elements plus one
+    # per squeeze refill (approximate; small vs the trees)
+    n_open = (
+        data.fixed_lde.shape[0] + W + zc + qc + nc
+    )
+    absorbed = (
+        8  # circuit digest + pi hash
+        + 3 * (1 << cap_h) * 4  # commitment caps
+        + 2 * n_open  # openings (ext pairs)
+        + (log_n - cfg.fri_final_poly_bits) * (1 << cfg.fri.cap_height) * 4
+        + 2 * (1 << cfg.fri_final_poly_bits)  # final poly
+        + 2  # pow
+    )
+    squeezes = 3 * nc + 4 + cfg.fri.num_query_rounds + 8
+    total += -(-absorbed // 8) + squeezes
+    return total
+
+
 def _lde_batched(coeffs: GF, rate_bits: int) -> GF:
     n = coeffs.shape[-1]
     big = n << rate_bits
