@@ -145,6 +145,149 @@ def _bitrev_fix(lo, hi, log_n):
     return lo, hi
 
 
+@lru_cache(maxsize=None)
+def _stage_modes(log_n: int, inverse: bool):
+    """Per-stage twiddle classification for the lazy kernel.
+
+    Goldilocks: 2 has order 192 (2^96 == -1), so every root of order
+    dividing 192 is a power of two — stages with span h <= 32 (order
+    m <= 64) have ALL twiddles in {2^t}.  Returns (exps, modes) where
+    exps is a (log_n, n) uint32 exponent table (rows meaningful only for
+    'pow2' stages) and modes[s] in {'skip', 'pow2', 'mul'} ('skip' =
+    stage 0, all twiddles are 1)."""
+    from mp2_tpu.prover import ntt as ntt_mod
+
+    n = 1 << log_n
+    pow2 = {pow(2, t, P): t for t in range(192)}
+    exps = np.zeros((log_n, n), dtype=np.uint32)
+    modes = []
+    for s in range(log_n):
+        m = 1 << (s + 1)
+        h = 1 << s
+        w = ntt_mod._root_of_unity(s + 1)
+        if inverse:
+            w = pow(w, P - 2, P)
+        pw = [pow(w, j, P) for j in range(h)]
+        if all(v == 1 for v in pw):
+            modes.append("skip")
+        elif all(v in pow2 for v in pw):
+            te = [pow2[v] for v in pw]
+            for p_ in range(n):
+                if (p_ % m) >= h:
+                    exps[s, p_] = te[p_ % h]
+            modes.append("pow2")
+        else:
+            modes.append("mul")
+    return exps, tuple(modes)
+
+
+def _dit_body_lazy(lo, hi, twlo_ref, twhi_ref, exp_ref, log_n: int,
+                   modes, apply_scale: bool):
+    """Lazy-dialect tile body: in-VMEM bitrev + all DIT stages with
+    non-canonical intermediates (values congruent mod p in [0, 2^64)).
+    Stage 0 skips its all-ones twiddle mul; power-of-two stages use
+    shift-based muls; the caller canonicalizes once at the end."""
+    n = 1 << log_n
+    rows = lo.shape[0]
+    lo, hi = _bitrev_fix(lo, hi, log_n)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (rows, n), 1)
+    for s in range(log_n):
+        h = 1 << s
+        if modes[s] == "skip":
+            yl, yh = lo, hi
+        elif modes[s] == "pow2":
+            e = exp_ref[s, :][None, :]
+            yl, yh = K.mul_pow2_lazy(
+                lo, hi, jnp.broadcast_to(e, lo.shape)
+            )
+        else:
+            twl = twlo_ref[s, :][None, :]
+            twh = twhi_ref[s, :][None, :]
+            yl, yh = K.mul_lazy(lo, hi, jnp.broadcast_to(twl, lo.shape),
+                                jnp.broadcast_to(twh, hi.shape))
+        yl_l = pltpu.roll(yl, n - h, 1)
+        yh_l = pltpu.roll(yh, n - h, 1)
+        xl_r = pltpu.roll(lo, h, 1)
+        xh_r = pltpu.roll(hi, h, 1)
+        al, ah = K.add_lazy(lo, hi, yl_l, yh_l)
+        bl, bh = K.sub_lazy(xl_r, xh_r, yl, yh)
+        is_low = ((lane >> s) & jnp.uint32(1)) == jnp.uint32(0)
+        lo = jnp.where(is_low, al, bl)
+        hi = jnp.where(is_low, ah, bh)
+    if apply_scale:
+        twl = twlo_ref[log_n, :][None, :]
+        twh = twhi_ref[log_n, :][None, :]
+        lo, hi = K.mul_lazy(lo, hi, jnp.broadcast_to(twl, lo.shape),
+                            jnp.broadcast_to(twh, hi.shape))
+    return lo, hi
+
+
+def _make_fused_kernel_lazy(log_n: int, with_twiddle: bool, modes,
+                            apply_scale: bool, canon_out: bool):
+    """Lazy fused tile kernel: bitrev + stages (+ optional per-element
+    twiddle block + scale row), canonicalizing only when canon_out (the
+    last pass of the pipeline)."""
+
+    def kernel(*refs):
+        if with_twiddle:
+            x_ref, twlo_ref, twhi_ref, exp_ref, blo_ref, bhi_ref, out_ref = refs
+        else:
+            x_ref, twlo_ref, twhi_ref, exp_ref, out_ref = refs
+        lo = x_ref[:TILE_R, :]
+        hi = x_ref[TILE_R:, :]
+        lo, hi = _dit_body_lazy(
+            lo, hi, twlo_ref, twhi_ref, exp_ref, log_n, modes, apply_scale
+        )
+        if with_twiddle:
+            lo, hi = K.mul_lazy(lo, hi, blo_ref[:TILE_R, :],
+                                bhi_ref[:TILE_R, :])
+        if canon_out:
+            lo, hi = K.canon_lazy(lo, hi)
+        out_ref[:TILE_R, :] = lo
+        out_ref[TILE_R:, :] = hi
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _compiled_fused_lazy(log_n: int, n_tiles: int, with_twiddle: bool,
+                         tiles_per_batch: int, inverse: bool,
+                         apply_scale: bool, canon_out: bool,
+                         interpret: bool = False):
+    n = 1 << log_n
+    _, modes = _stage_modes(log_n, inverse)
+    specs = [
+        pl.BlockSpec((2 * TILE_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((log_n + 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((log_n + 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((log_n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if with_twiddle:
+        specs += [
+            pl.BlockSpec(
+                (TILE_R, n),
+                lambda i: (i % tiles_per_batch, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_R, n),
+                lambda i: (i % tiles_per_batch, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    return pl.pallas_call(
+        _make_fused_kernel_lazy(log_n, with_twiddle, modes, apply_scale,
+                                canon_out),
+        grid=(n_tiles,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (2 * TILE_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 2 * TILE_R, n), jnp.uint32),
+        interpret=interpret,
+    )
+
+
 def _dit_body(lo, hi, twlo_ref, twhi_ref, log_n: int):
     """Shared tile body: in-VMEM bitrev + all DIT stages + scale row."""
     n = 1 << log_n
@@ -298,8 +441,15 @@ def _mid_twiddles_u32(log_n: int, inverse: bool):
     return (twt & 0xFFFFFFFF).astype(np.uint32), (twt >> 32).astype(np.uint32)
 
 
-def _run_fused(lo, hi, log_n, tables, tw_pair, tiles_per_batch=1):
-    """One fused pass over (R, n) u32 limb planes."""
+def _run_fused(lo, hi, log_n, tables, tw_pair, tiles_per_batch=1,
+               inverse=False, apply_scale=False, canon_out=True):
+    """One fused pass over (R, n) u32 limb planes.
+
+    Default path is the LAZY kernel (non-canonical intermediates, stage-0
+    mul skipped, pow2 twiddle stages as shift-muls); MP2_NTT_LAZY=0
+    reverts to the always-canonical round-2 kernel.  With the lazy
+    kernel, inputs may be any u64 pair congruent to the value and the
+    output is canonical only when canon_out."""
     R, n = lo.shape
     assert R % TILE_R == 0, "row count must align to the tile height"
     n_tiles = R // TILE_R
@@ -307,14 +457,27 @@ def _run_fused(lo, hi, log_n, tables, tw_pair, tiles_per_batch=1):
     hi_t = hi.reshape(n_tiles, TILE_R, n)
     st = jnp.concatenate([lo_t, hi_t], axis=1).reshape(n_tiles * 2 * TILE_R, n)
     twlo, twhi = tables
-    args = [st, jnp.asarray(twlo), jnp.asarray(twhi)]
-    if tw_pair is not None:
-        args += [jnp.asarray(tw_pair[0]), jnp.asarray(tw_pair[1])]
     interpret = jax.devices()[0].platform == "cpu"
+    lazy = os.environ.get("MP2_NTT_LAZY", "1") != "0"
     with jax.enable_x64(False):
-        out = _compiled_fused(
-            log_n, n_tiles, tw_pair is not None, tiles_per_batch, interpret
-        )(*args)
+        if lazy:
+            exps, _ = _stage_modes(log_n, inverse)
+            args = [st, jnp.asarray(twlo), jnp.asarray(twhi),
+                    jnp.asarray(exps)]
+            if tw_pair is not None:
+                args += [jnp.asarray(tw_pair[0]), jnp.asarray(tw_pair[1])]
+            out = _compiled_fused_lazy(
+                log_n, n_tiles, tw_pair is not None, tiles_per_batch,
+                inverse, apply_scale, canon_out, interpret
+            )(*args)
+        else:
+            args = [st, jnp.asarray(twlo), jnp.asarray(twhi)]
+            if tw_pair is not None:
+                args += [jnp.asarray(tw_pair[0]), jnp.asarray(tw_pair[1])]
+            out = _compiled_fused(
+                log_n, n_tiles, tw_pair is not None, tiles_per_batch,
+                interpret
+            )(*args)
     out_t = out.reshape(n_tiles, 2 * TILE_R, n)
     return (
         out_t[:, :TILE_R].reshape(R, n),
@@ -437,12 +600,14 @@ def ntt_four_step_fused(xv: jax.Array, inverse: bool) -> jax.Array:
     a_lo, a_hi = _run_fused(
         lo_t, hi_t, log1, _tables_unit_scale(log1, inverse), (mtl, mth),
         tiles_per_batch=n2 // TILE_R,
+        inverse=inverse, apply_scale=False, canon_out=False,
     )
     # pass 2: row transforms (length n2), full 1/n scale when inverse
     b_lo = jnp.swapaxes(a_lo.reshape(B, n2, n1), 1, 2).reshape(B * n1, n2)
     b_hi = jnp.swapaxes(a_hi.reshape(B, n2, n1), 1, 2).reshape(B * n1, n2)
     c_lo, c_hi = _run_fused(
-        b_lo, b_hi, log2, _tables_full_scale(log2, inverse, log_n), None
+        b_lo, b_hi, log2, _tables_full_scale(log2, inverse, log_n), None,
+        inverse=inverse, apply_scale=inverse, canon_out=True,
     )
     # output order: y[k1 + n1 k2] = C[k1, k2] transposed
     y_lo = jnp.swapaxes(c_lo.reshape(B, n1, n2), 1, 2).reshape(B, n)
