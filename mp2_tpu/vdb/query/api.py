@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from mp2_tpu.hash import poseidon2_host as p2h
 from mp2_tpu.parsil.assembler import CircuitPis
+from mp2_tpu.utils.u256 import U256_MAX
 from mp2_tpu.parsil.symbols import ZkTable
 from mp2_tpu.vdb.query import ops as O
 from mp2_tpu.vdb.query.ops import (
@@ -59,12 +60,19 @@ def placeholder_hash(
     names: Sequence[str], ph: Placeholders, bounds, num_slots: int = None
 ) -> Tuple[int, int, int, int]:
     """Commitment to the placeholder values (revelation/placeholders_check.rs
-    equivalent): H(min || max || (name_hash, value-limbs)*).  `num_slots`
-    pads to the universal circuit's fixed placeholder bank."""
+    equivalent): H(min_p || max_p || min_s || max_s || (name_hash,
+    value-limbs)*) — ALL FOUR query bounds are committed, so the verifier
+    derives the secondary range the circuits enforced (the reference routes
+    secondary bounds through QueryBound sources, utils.rs:131-199; one
+    commitment covering them is this repo's equivalent).  `num_slots` pads
+    to the universal circuit's fixed placeholder bank."""
     from mp2_tpu.utils.u256 import u256_to_fields
 
-    inputs: List[int] = u256_to_fields(bounds.min_block) + u256_to_fields(
-        bounds.max_block
+    inputs: List[int] = (
+        u256_to_fields(bounds.min_block)
+        + u256_to_fields(bounds.max_block)
+        + u256_to_fields(getattr(bounds, "min_secondary", 0))
+        + u256_to_fields(getattr(bounds, "max_secondary", U256_MAX))
     )
     for n in names:
         inputs.append(p2h.hash_no_pad([ord(c) for c in n])[0])

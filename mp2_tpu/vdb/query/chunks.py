@@ -319,43 +319,197 @@ def build_chunk_from_rows(b, p, W, bind, foreign):
     return assign
 
 
+def _select_boundary(b, flag, x: BoundaryRowTargets, y: BoundaryRowTargets):
+    """flag ? x : y over the 64 boundary targets (BoundaryRowDataTarget::
+    select, row_chunk_gadgets/mod.rs)."""
+    xs, ys = x.to_targets(), y.to_targets()
+    return BoundaryRowTargets.from_targets(
+        [b.select(flag, a, c) for a, c in zip(xs, ys)]
+    )
+
+
 def build_chunk_merge(b, p, W, bind, children):
-    """Chunk-merge body: combine two chunk proofs; tree-bound mode checks
-    the chunks are consecutive at their shared boundary and agree on the
-    index root + query bounds (chunk_aggregation.rs)."""
-    l = _ChunkPis.parse(p, children[0].public_inputs(), bind)
-    r = _ChunkPis.parse(p, children[1].public_inputs(), bind)
-    _connect_lists(b, r.comp, l.comp)
-    _connect_lists(b, r.ph, l.ph)
-    _connect_lists(b, r.agg_ids, l.agg_ids)
+    """Chunk-merge body over NUM_CHUNKS >= 2 chunk proofs
+    (chunk_aggregation.rs:50-135): the first chunk is pinned non-dummy;
+    each further chunk carries a witnessed is_non_dummy flag — dummy
+    slots repeat a real proof and contribute identity values, so one
+    circuit covers every partial top level.  Tree-bound mode checks each
+    non-dummy chunk is consecutive with the accumulated right boundary
+    and that all chunks agree on the index root + query bounds.
+
+    Returns assign(inputs, n_real)."""
+    chunks = [
+        _ChunkPis.parse(p, c.public_inputs(), bind) for c in children
+    ]
+    l = chunks[0]
+    nd_flags = []
+    for _ in chunks[1:]:
+        t = b.add_input()
+        b.connect(b.mul(t, t), t)
+        nd_flags.append(t)
+
+    zero_u = _u256_const(b, 0)
     outs = []
+    ohs = []
     for j in range(p.num_outputs):
-        oh = _agg_onehot(b, l.agg_ids[j])
-        outs.append(_combine(b, l.outputs[j], r.outputs[j], oh))
-    count = b.add(l.count, r.count)
+        ohs.append(_agg_onehot(b, l.agg_ids[j]))
+    count = l.count
+    right_b = l.right_b if bind else None
+    acc = [l.outputs[j] for j in range(p.num_outputs)]
+    for r, nd in zip(chunks[1:], nd_flags):
+        _connect_lists(b, r.comp, l.comp)
+        _connect_lists(b, r.ph, l.ph)
+        _connect_lists(b, r.agg_ids, l.agg_ids)
+        count = b.mul_add(nd, r.count, count)
+        for j in range(p.num_outputs):
+            ident = _row_contribution(b, b.zero(), zero_u, ohs[j])
+            contrib = u256_select(b, nd, r.outputs[j], ident)
+            acc[j] = _combine(b, acc[j], contrib, ohs[j])
+        if bind:
+            _connect_lists(b, r.index_root, l.index_root)
+            for a, c in (
+                (l.min_p, r.min_p), (l.max_p, r.max_p),
+                (l.min_s, r.min_s), (l.max_s, r.max_s),
+            ):
+                _connect_lists(b, a.limbs, c.limbs)
+            ok = are_consecutive_rows(
+                b, right_b, r.left_b, l.min_p, l.max_p, l.min_s, l.max_s
+            )
+            # consecutive required only for non-dummy chunks
+            b.connect(b.mul(nd, ok), nd)
+            right_b = _select_boundary(b, nd, r.right_b, right_b)
+    outs = acc
     pis = (
         list(l.comp) + list(l.ph) + list(l.agg_ids)
         + [lm for o in outs for lm in o.limbs] + [count]
     )
     if bind:
-        _connect_lists(b, r.index_root, l.index_root)
-        for a, c in (
-            (l.min_p, r.min_p), (l.max_p, r.max_p),
-            (l.min_s, r.min_s), (l.max_s, r.max_s),
-        ):
-            _connect_lists(b, a.limbs, c.limbs)
-        ok = are_consecutive_rows(
-            b, l.right_b, r.left_b, l.min_p, l.max_p, l.min_s, l.max_s
-        )
-        b.connect(ok, b.one())
         pis += list(l.index_root)
         for t in (l.min_p, l.max_p, l.min_s, l.max_s):
             pis += list(t.limbs)
         pis += l.left_b.to_targets()
-        pis += r.right_b.to_targets()
+        pis += right_b.to_targets()
     pis += [b.zero()] * (W - len(pis))
     b.register_public_inputs(pis)
-    return None
+
+    def assign(inputs, n_real=None):
+        n = len(children) if n_real is None else n_real
+        for i, t in enumerate(nd_flags):
+            inputs[t] = 1 if (i + 1) < n else 0
+
+    return assign
+
+
+def build_row_chunk(
+    b: CircuitBuilder,
+    p: UniversalQueryParams,
+    W: int,
+    num_rows: int,
+    row_tree_depth: int,
+    index_tree_depth: int,
+):
+    """ROW-CHUNK circuit (row_chunk_processing.rs): NUM_ROWS tree-bound
+    row gadgets embedded in ONE circuit, sharing a single query-structure
+    instance (selectors + computational/placeholder hash built once —
+    the reference's UniversalQueryHashInputs split).  Row i > 0 carries a
+    witnessed non-dummy flag; dummy rows are host-side COPIES of the last
+    real row (so paths/range checks hold) whose predicate is forced 0 and
+    whose consecutiveness check is skipped.  Produces CHUNK-layout PIs,
+    so chunk_merge and the revelation consume row chunks directly.
+
+    Returns assign(inputs, pis, column_ids, rows, placeholders, bounds,
+    bindings) accepting 1..num_rows real rows."""
+    from mp2_tpu.vdb.query.universal import build_query_structure, eval_row
+
+    st = build_query_structure(b, p)
+    min_p, max_p = st.bound_min, st.bound_max
+    min_s, max_s = st.bound_min_s, st.bound_max_s
+    agg_ids = st.agg_ids(b)
+
+    row_wires = []
+    for i in range(num_rows):
+        columns = [add_virtual_u256(b) for _ in range(p.num_columns)]
+        if i == 0:
+            non_dummy = b.one()  # first row must be real
+        else:
+            non_dummy = b.add_input()
+            b.connect(b.mul(non_dummy, non_dummy), non_dummy)
+        ev = eval_row(b, st, columns, non_dummy)
+        # primary-index range membership is HARD for every proven row
+        # (universal_query_gadget.rs:1336-1342)
+        b.connect(u256_lte(b, min_p, columns[0]), b.one())
+        b.connect(u256_lte(b, columns[0], max_p), b.one())
+        cells_root = _cells_root_circuit(b, st.column_ids[2:], columns[2:])
+        row_path = add_merkle_path_with_neighbors(
+            b, st.column_ids[1], columns[1], cells_root, row_tree_depth
+        )
+        index_path = add_merkle_path_with_neighbors(
+            b, st.column_ids[0], columns[0], row_path.root, index_tree_depth
+        )
+        boundary = BoundaryRowTargets(row=row_path.node, index=index_path.node)
+        row_wires.append(
+            dict(columns=columns, non_dummy=non_dummy, ev=ev,
+                 boundary=boundary, row_path=row_path, index_path=index_path)
+        )
+
+    r0 = row_wires[0]
+    # all rows prove membership against the SAME index root (dummy rows
+    # are copies of real rows, so this holds for them too)
+    for rw in row_wires[1:]:
+        _connect_lists(b, rw["index_path"].root, r0["index_path"].root)
+
+    count = r0["ev"].pred
+    right_b = r0["boundary"]
+    accs = None
+    ohs = [_agg_onehot(b, agg_ids[j]) for j in range(p.num_outputs)]
+    accs = [
+        _row_contribution(b, r0["ev"].pred, r0["ev"].out_values[j], ohs[j])
+        for j in range(p.num_outputs)
+    ]
+    for rw in row_wires[1:]:
+        nd = rw["non_dummy"]
+        count = b.add(count, rw["ev"].pred)  # pred already gated by nd
+        for j in range(p.num_outputs):
+            c = _row_contribution(b, rw["ev"].pred, rw["ev"].out_values[j],
+                                  ohs[j])
+            accs[j] = _combine(b, accs[j], c, ohs[j])
+        ok = are_consecutive_rows(
+            b, right_b, rw["boundary"], min_p, max_p, min_s, max_s
+        )
+        b.connect(b.mul(nd, ok), nd)  # consecutive unless dummy
+        right_b = _select_boundary(b, nd, rw["boundary"], right_b)
+
+    pis = (
+        list(st.comp_hash) + list(st.ph_hash) + list(agg_ids)
+        + [lm for o in accs for lm in o.limbs] + [count]
+        + list(r0["index_path"].root)
+    )
+    for t in (min_p, max_p, min_s, max_s):
+        pis += list(t.limbs)
+    pis += r0["boundary"].to_targets()
+    pis += right_b.to_targets()
+    pis += [b.zero()] * (W - len(pis))
+    b.register_public_inputs(pis)
+
+    def assign(inputs, pis_obj, column_ids_v, rows, placeholders, bounds,
+               bindings):
+        assert 1 <= len(rows) <= num_rows
+        st.assign(inputs, pis_obj, column_ids_v, placeholders, bounds)
+        last = len(rows) - 1
+        for i, rw in enumerate(row_wires):
+            real = i < len(rows)
+            row = rows[i] if real else rows[last]
+            bi = bindings[i] if real else bindings[last]
+            for t, v in zip(rw["columns"], row):
+                set_u256(inputs, t, v)
+            if i > 0:
+                inputs[rw["non_dummy"]] = 1 if real else 0
+            set_merkle_path_with_neighbors(inputs, rw["row_path"], bi.row_w)
+            set_merkle_path_with_neighbors(
+                inputs, rw["index_path"], bi.index_w
+            )
+
+    return assign
 
 
 def build_revelation(b, p, W, bind, chunk_uv, ivc_uv):
@@ -372,12 +526,15 @@ def build_revelation(b, p, W, bind, chunk_uv, ivc_uv):
         block_root = [b.zero()] * 4
     assign = None
     if bind:
-        ph_hash, bound_min, bound_max, assign = _placeholder_check(b, p)
+        (ph_hash, bound_min, bound_max, bound_min_s, bound_max_s,
+         assign) = _placeholder_check(b, p)
         _connect_lists(b, ph_hash, c.ph)
         _connect_lists(b, c.min_p.limbs, bound_min.limbs)
         _connect_lists(b, c.max_p.limbs, bound_max.limbs)
-        _connect_lists(b, c.min_s.limbs, _u256_const(b, 0).limbs)
-        _connect_lists(b, c.max_s.limbs, _u256_const(b, U256_MAX).limbs)
+        # secondary bounds pinned to the SAME witnessed values committed in
+        # the placeholder hash (utils.rs QueryBounds secondary range)
+        _connect_lists(b, c.min_s.limbs, bound_min_s.limbs)
+        _connect_lists(b, c.max_s.limbs, bound_max_s.limbs)
         # extreme boundaries: nothing in range before the first / after
         # the last proven row
         _enforce_no_inrange_pred(b, c.left_b.row.predecessor, c.min_s)
@@ -410,8 +567,9 @@ def build_revelation(b, p, W, bind, chunk_uv, ivc_uv):
 def _placeholder_check(b, p):
     """placeholders_check.rs CheckPlaceholderGadget: recompute the
     placeholder hash from witnessed (name-hash, value, active) triples
-    prefixed by the primary query bounds.  Returns (hash targets, bound
-    u256 targets, assign closure)."""
+    prefixed by ALL FOUR query bounds (primary + secondary — the
+    reference's QueryBound sources, utils.rs:131-199).  Returns (hash
+    targets, the four bound u256 targets, assign closure)."""
     npl = p.num_placeholders
     ph_name_hs = b.add_inputs(npl)
     ph_values = [add_virtual_u256(b) for _ in range(npl)]
@@ -422,7 +580,12 @@ def _placeholder_check(b, p):
         ph_active.append(t)
     bound_min = add_virtual_u256(b)
     bound_max = add_virtual_u256(b)
-    ph_inputs: List[Target] = list(bound_min.limbs) + list(bound_max.limbs)
+    bound_min_s = add_virtual_u256(b)
+    bound_max_s = add_virtual_u256(b)
+    ph_inputs: List[Target] = (
+        list(bound_min.limbs) + list(bound_max.limbs)
+        + list(bound_min_s.limbs) + list(bound_max_s.limbs)
+    )
     for nh, pv, act in zip(ph_name_hs, ph_values, ph_active):
         ph_inputs.append(b.mul(act, nh))
         ph_inputs.extend(b.mul(act, lm) for lm in pv.limbs)
@@ -443,8 +606,12 @@ def _placeholder_check(b, p):
                 inputs[ph_active[k]] = 0
         set_u256(inputs, bound_min, bounds.min_block)
         set_u256(inputs, bound_max, bounds.max_block)
+        set_u256(inputs, bound_min_s, getattr(bounds, "min_secondary", 0))
+        set_u256(
+            inputs, bound_max_s, getattr(bounds, "max_secondary", U256_MAX)
+        )
 
-    return ph_hash, bound_min, bound_max, assign
+    return ph_hash, bound_min, bound_max, bound_min_s, bound_max_s, assign
 
 
 def _lex_lt_u256_arr(b, xs, ys) -> Target:
@@ -515,7 +682,8 @@ def build_revelation_tabular(b, p, W, row_uvs, ivc_uv):
     b.connect(b.mul(distinct, distinct), distinct)
     limit = b.add_input()
     offset = b.add_input()
-    ph_hash, bound_min, bound_max, assign_ph = _placeholder_check(b, p)
+    (ph_hash, bound_min, bound_max, bound_min_s, bound_max_s,
+     assign_ph) = _placeholder_check(b, p)
     _connect_lists(b, ph_hash, r0.ph)
 
     only_matching = b.one()
@@ -748,6 +916,8 @@ class QueryCircuits:
         row_tree_depth: int = 0,
         index_tree_depth: int = 0,
         tabular_rows: int = 0,
+        num_rows_per_chunk: int = 3,
+        chunk_fanin: int = 2,
     ):
         self.config = config
         self.params = params
@@ -756,6 +926,8 @@ class QueryCircuits:
         self.row_tree_depth = row_tree_depth
         self.index_tree_depth = index_tree_depth
         self.tabular_rows = tabular_rows
+        self.num_rows_per_chunk = num_rows_per_chunk
+        self.chunk_fanin = chunk_fanin
         W = _pi_width(params, self.bind)
         self.W = W
         bind = self.bind
@@ -785,23 +957,39 @@ class QueryCircuits:
         self.chunk = RecursionFramework(config, W, set_height=2)
         p = params
 
-        def chunk_from_rows(n_rows):
-            def build(b, children, foreign):
-                return build_chunk_from_rows(b, p, W, bind, foreign)
+        if bind:
+            # NUM_ROWS rows per chunk proof IN ONE CIRCUIT
+            # (row_chunk_processing.rs) — no per-row recursion on this path
+            self.chunk.add_leaf_circuit(
+                "row_chunk",
+                lambda b: build_row_chunk(
+                    b, p, W, num_rows_per_chunk, row_tree_depth,
+                    index_tree_depth,
+                ),
+            )
+        else:
+            # standalone (non-tree-bound) stack keeps the recursive
+            # row-proof pairing
+            def chunk_from_rows(n_rows):
+                def build(b, children, foreign):
+                    return build_chunk_from_rows(b, p, W, bind, foreign)
 
-            return build
+                return build
 
-        self.chunk.add_aggregation_circuit(
-            "chunk_pair", 0, chunk_from_rows(2), foreign=[self.row, self.row]
-        )
-        self.chunk.add_aggregation_circuit(
-            "chunk_single", 0, chunk_from_rows(1), foreign=[self.row]
-        )
+            self.chunk.add_aggregation_circuit(
+                "chunk_pair", 0, chunk_from_rows(2),
+                foreign=[self.row, self.row],
+            )
+            self.chunk.add_aggregation_circuit(
+                "chunk_single", 0, chunk_from_rows(1), foreign=[self.row]
+            )
 
         def merge_build(b, children):
             return build_chunk_merge(b, p, W, bind, children)
 
-        self.chunk.add_aggregation_circuit("chunk_merge", 2, merge_build)
+        self.chunk.add_aggregation_circuit(
+            "chunk_merge", chunk_fanin, merge_build
+        )
         if bind:
             self.chunk.add_leaf_circuit(
                 "non_existence",
@@ -871,9 +1059,12 @@ class QueryCircuits:
         return list(vals) + [0] * (self.W - len(vals))
 
     def _query_bounds4(self, bounds) -> Tuple[int, int, int, int]:
-        """(min_primary, max_primary, min_secondary, max_secondary) — the
-        parsil subset constrains only the block range."""
-        return (bounds.min_block, bounds.max_block, 0, U256_MAX)
+        """(min_primary, max_primary, min_secondary, max_secondary)."""
+        return (
+            bounds.min_block, bounds.max_block,
+            getattr(bounds, "min_secondary", 0),
+            getattr(bounds, "max_secondary", U256_MAX),
+        )
 
     def prove_query(
         self, pis, column_ids, rows, placeholders, bounds, ivc_env=None,
@@ -903,7 +1094,9 @@ class QueryCircuits:
             assert bindings is not None and len(bindings) == len(rows)
         else:
             bindings = [None] * len(rows)
-        row_envs = [
+        # non-bind mode recursively verifies per-row proofs; tree-bound
+        # mode proves NUM_ROWS rows per row-chunk circuit instead
+        row_envs = [] if self.bind else [
             self.prove_row(pis, column_ids, r, placeholders, bounds, bi)
             for r, bi in zip(rows, bindings)
         ]
@@ -969,39 +1162,59 @@ class QueryCircuits:
 
         chunk_args = (qb4,) if self.bind else ()
 
-        # pair rows into chunks
         chunk_envs = []
         chunk_piv = []
-        i = 0
-        while i < len(row_envs):
-            if i + 1 < len(row_envs):
-                piv = chunk_vals([row_pi_vals[i], row_pi_vals[i + 1]])
-                env = self.chunk.prove_aggregation(
-                    "chunk_pair", [], chunk_args, piv,
-                    foreign_children=[row_envs[i], row_envs[i + 1]],
+        if self.bind:
+            # NUM_ROWS rows per row-chunk LEAF proof
+            # (row_chunk_processing.rs: no per-row recursion)
+            R = self.num_rows_per_chunk
+            for i in range(0, len(rows), R):
+                grp = rows[i : i + R]
+                grpb = bindings[i : i + R]
+                piv = chunk_vals(row_pi_vals[i : i + len(grp)])
+                env = self.chunk.prove_leaf(
+                    "row_chunk",
+                    (pis, column_ids, grp, placeholders, bounds, grpb),
+                    piv,
                 )
-                i += 2
-            else:
-                piv = chunk_vals([row_pi_vals[i]])
-                env = self.chunk.prove_aggregation(
-                    "chunk_single", [], chunk_args, piv,
-                    foreign_children=[row_envs[i]],
-                )
-                i += 1
-            chunk_envs.append(env)
-            chunk_piv.append(piv)
+                chunk_envs.append(env)
+                chunk_piv.append(piv)
+        else:
+            # standalone mode: pair recursive row proofs
+            i = 0
+            while i < len(row_envs):
+                if i + 1 < len(row_envs):
+                    piv = chunk_vals([row_pi_vals[i], row_pi_vals[i + 1]])
+                    env = self.chunk.prove_aggregation(
+                        "chunk_pair", [], chunk_args, piv,
+                        foreign_children=[row_envs[i], row_envs[i + 1]],
+                    )
+                    i += 2
+                else:
+                    piv = chunk_vals([row_pi_vals[i]])
+                    env = self.chunk.prove_aggregation(
+                        "chunk_single", [], chunk_args, piv,
+                        foreign_children=[row_envs[i]],
+                    )
+                    i += 1
+                chunk_envs.append(env)
+                chunk_piv.append(piv)
 
         chunk_base = _chunk_base_width(self.params)
 
-        def merge_vals(a, bv):
+        def merge_vals(pivs):
+            """Host mirror of the fan-in-N chunk merge over REAL chunk
+            PIs (dummy slots contribute identity values)."""
+            a = pivs[0]
             aggs = a[8 : 8 + no]
             res = []
             for j in range(no):
                 off = 8 + no + 8 * j
-                va = u256_of(a[off : off + 8])
-                vb = u256_of(bv[off : off + 8])
-                res.append(fold(aggs[j], va, vb))
-            count = a[8 + no + 8 * no] + bv[8 + no + 8 * no]
+                acc = u256_of(a[off : off + 8])
+                for bv in pivs[1:]:
+                    acc = fold(aggs[j], acc, u256_of(bv[off : off + 8]))
+                res.append(acc)
+            count = sum(pv[8 + no + 8 * no] for pv in pivs)
             vals = (
                 list(a[0:8]) + list(aggs)
                 + [f for o in res for f in u256_to_fields(o)] + [count]
@@ -1013,23 +1226,27 @@ class QueryCircuits:
                     a[chunk_base + 36 : chunk_base + 36 + BOUNDARY_ROW_LEN]
                 )
                 rb_off = chunk_base + 36 + BOUNDARY_ROW_LEN
-                vals += list(bv[rb_off : rb_off + BOUNDARY_ROW_LEN])
+                vals += list(pivs[-1][rb_off : rb_off + BOUNDARY_ROW_LEN])
             return vals + [0] * (W - len(vals))
 
+        F = self.chunk_fanin
         while len(chunk_envs) > 1:
             nxt_envs, nxt_piv = [], []
-            i = 0
-            while i < len(chunk_envs):
-                if i + 1 < len(chunk_envs):
-                    piv = merge_vals(chunk_piv[i], chunk_piv[i + 1])
-                    env = self.chunk.prove_aggregation(
-                        "chunk_merge", [chunk_envs[i], chunk_envs[i + 1]],
-                        (), piv,
-                    )
-                    i += 2
-                else:
-                    env, piv = chunk_envs[i], chunk_piv[i]
-                    i += 1
+            for i in range(0, len(chunk_envs), F):
+                grp_envs = chunk_envs[i : i + F]
+                grp_piv = chunk_piv[i : i + F]
+                if len(grp_envs) == 1:
+                    nxt_envs.append(grp_envs[0])
+                    nxt_piv.append(grp_piv[0])
+                    continue
+                n_real = len(grp_envs)
+                # dummy slots repeat the last real proof; the witnessed
+                # non-dummy flags neutralize their contributions
+                pad = grp_envs + [grp_envs[-1]] * (F - n_real)
+                piv = merge_vals(grp_piv)
+                env = self.chunk.prove_aggregation(
+                    "chunk_merge", pad, (n_real,), piv,
+                )
                 nxt_envs.append(env)
                 nxt_piv.append(piv)
             chunk_envs, chunk_piv = nxt_envs, nxt_piv

@@ -103,8 +103,15 @@ class Placeholders:
 
 @dataclass(frozen=True)
 class QueryBounds:
+    """Primary (block) range plus OPTIONAL secondary-index range (the
+    reference's QueryBounds, verifiable-db/src/query/utils.rs:131-199:
+    min/max secondary from constants or placeholders; defaults = the full
+    range, i.e. an unbounded secondary index)."""
+
     min_block: int
     max_block: int
+    min_secondary: int = 0
+    max_secondary: int = U256_MAX
 
 
 # ---------------------------------------------------------------------------

@@ -112,30 +112,30 @@ def _truthy(b, v: U256Target) -> Target:
 
 @dataclass
 class _OperandSlot:
+    """STRUCTURE of one operand selection (shared across all rows of a
+    chunk circuit — the reference's UniversalQueryHashInputWires split,
+    universal_query_gadget.rs:497-560): the one-hot selector, constant
+    value, and computational-hash encoding.  Per-row VALUES are produced
+    by `_operand_value`."""
+
     onehot: List[Target]  # over [columns | placeholders | const | previous | none?]
     const_value: U256Target
-    value: U256Target
     kind_field: Target
     payload_field: Target
+    allow_none: bool
 
 
 def _operand_slot(
     b: CircuitBuilder,
-    columns: List[U256Target],
+    nc: int,
     ph_name_hs: List[Target],
-    ph_values: List[U256Target],
-    previous: List[U256Target],
+    npr: int,
     allow_none: bool,
 ) -> _OperandSlot:
-    nc, np_, npr = len(columns), len(ph_values), len(previous)
+    np_ = len(ph_name_hs)
     total = nc + np_ + 1 + npr + (1 if allow_none else 0)
     oh = _one_hot(b, total, total_is_one=True)
     const_value = add_virtual_u256(b)
-    zero256 = U256Target(tuple([b.zero()] * 8))
-    candidates = columns + ph_values + [const_value] + previous
-    if allow_none:
-        candidates.append(zero256)
-    value = _mux_u256(b, oh, candidates)
 
     # encoded (kind, payload) mirroring ops._operand_fields
     oh_col = oh[:nc]
@@ -158,33 +158,68 @@ def _operand_slot(
     payload = b.mul_add(oh_const, const_h[0], payload)
     for j, bit in enumerate(oh_prev):
         payload = b.mul_add(bit, b.constant(j), payload)
-    return _OperandSlot(oh, const_value, value, kind, payload)
+    return _OperandSlot(oh, const_value, kind, payload, allow_none)
+
+
+def _operand_value(
+    b, slot: _OperandSlot, columns, ph_values, previous
+) -> U256Target:
+    candidates = list(columns) + list(ph_values) + [slot.const_value]
+    candidates += list(previous)
+    if slot.allow_none:
+        candidates.append(U256Target(tuple([b.zero()] * 8)))
+    return _mux_u256(b, slot.onehot, candidates)
 
 
 @dataclass
 class _OpSlot:
+    """Structure of one basic-operation slot (shared across rows)."""
+
     active: Target
     op_onehot: List[Target]
     first: _OperandSlot
     second: _OperandSlot
-    value: U256Target
-    truthy: Target
-    overflow: Target
     encoded: List[Target]  # 7 fields (zeroed when inactive)
 
 
+@dataclass
+class _OpValue:
+    """Per-row evaluation of one op slot."""
+
+    value: U256Target
+    truthy: Target
+    overflow: Target
+
+
 def _op_slot(
-    b: CircuitBuilder,
-    columns,
-    ph_name_hs,
-    ph_values,
-    previous: List[U256Target],
+    b: CircuitBuilder, nc: int, ph_name_hs, npr: int
 ) -> _OpSlot:
     active = _bool_input(b)
     oh = _one_hot(b, NUM_OPS, total_is_one=True)
-    first = _operand_slot(b, columns, ph_name_hs, ph_values, previous, False)
-    second = _operand_slot(b, columns, ph_name_hs, ph_values, previous, True)
-    x, y = first.value, second.value
+    first = _operand_slot(b, nc, ph_name_hs, npr, False)
+    second = _operand_slot(b, nc, ph_name_hs, npr, True)
+
+    op_id = b.zero()
+    for k, bit in enumerate(oh):
+        op_id = b.mul_add(bit, b.constant(k), op_id)
+    enc = [
+        op_id,
+        first.kind_field, first.payload_field, b.zero(),
+        second.kind_field, second.payload_field, b.zero(),
+    ]
+    encoded = [b.mul(active, t) for t in enc]
+    return _OpSlot(active=active, op_onehot=oh, first=first, second=second,
+                   encoded=encoded)
+
+
+def _op_slot_value(
+    b, slot: _OpSlot, columns, ph_values, previous: List[U256Target]
+) -> _OpValue:
+    """Evaluate one op slot on a row's values: the full U256 operation
+    battery, one-hot-selected by the SHARED op selector."""
+    x = _operand_value(b, slot.first, columns, ph_values, previous)
+    y = _operand_value(b, slot.second, columns, ph_values, previous)
+    oh = slot.op_onehot
 
     add_v, add_ov = u256_add(b, x, y)
     sub_v, sub_ov = u256_sub(b, x, y)
@@ -217,29 +252,14 @@ def _op_slot(
     ovs[int(Operation.ADD)] = add_ov
     ovs[int(Operation.SUB)] = sub_ov
     ovs[int(Operation.MUL)] = mul_ov
-    overflow = b.mul(active, _mux_scalar(b, oh, ovs))
-
-    op_id = b.zero()
-    for k, bit in enumerate(oh):
-        op_id = b.mul_add(bit, b.constant(k), op_id)
-    enc = [
-        op_id,
-        first.kind_field, first.payload_field, b.zero(),
-        second.kind_field, second.payload_field, b.zero(),
-    ]
-    encoded = [b.mul(active, t) for t in enc]
-    return _OpSlot(
-        active=active, op_onehot=oh, first=first, second=second,
-        value=value, truthy=_truthy(b, value), overflow=overflow,
-        encoded=encoded,
-    )
+    overflow = b.mul(slot.active, _mux_scalar(b, oh, ovs))
+    return _OpValue(value=value, truthy=_truthy(b, value), overflow=overflow)
 
 
-def _op_bank(b, n_slots, columns, ph_name_hs, ph_values):
+def _op_bank(b, n_slots, nc, ph_name_hs):
     slots: List[_OpSlot] = []
     for i in range(n_slots):
-        prev = [s.value for s in slots]
-        slots.append(_op_slot(b, columns, ph_name_hs, ph_values, prev))
+        slots.append(_op_slot(b, nc, ph_name_hs, npr=i))
     # actives must form a prefix (evaluation order semantics)
     for i in range(1, n_slots):
         b.connect(
@@ -248,16 +268,24 @@ def _op_bank(b, n_slots, columns, ph_name_hs, ph_values):
     return slots
 
 
-def _last_active_truthy(b, slots: List[_OpSlot]) -> Target:
+def _op_bank_values(b, slots, columns, ph_values) -> List[_OpValue]:
+    vals: List[_OpValue] = []
+    for s in slots:
+        prev = [v.value for v in vals]
+        vals.append(_op_slot_value(b, s, columns, ph_values, prev))
+    return vals
+
+
+def _last_active_truthy(b, slots: List[_OpSlot], vals: List[_OpValue]) -> Target:
     """Value of the LAST active slot's truthiness; 1 when no slot active
     (empty predicate = true)."""
     if not slots:
         return b.one()
     acc = b.zero()
-    for i, s in enumerate(slots):
+    for i, (s, v) in enumerate(zip(slots, vals)):
         nxt_active = slots[i + 1].active if i + 1 < len(slots) else b.zero()
         is_last = b.mul(s.active, b.logic_not(nxt_active))
-        acc = b.mul_add(is_last, s.truthy, acc)
+        acc = b.mul_add(is_last, v.truthy, acc)
     none_active = b.logic_not(slots[0].active)
     return b.add(acc, none_active)
 
@@ -275,20 +303,17 @@ class _OutputSlot:
     onehot: List[Target]  # over [columns | result slots]
     out_id: Target
     agg_id: Target
-    value: U256Target
     encoded: List[Target]  # 4 fields
 
 
-def _output_slot(b, columns, result_values) -> _OutputSlot:
-    nc = len(columns)
-    oh = _one_hot(b, nc + len(result_values), total_is_one=True)
+def _output_slot(b, nc: int, n_results: int) -> _OutputSlot:
+    oh = _one_hot(b, nc + n_results, total_is_one=True)
     active = _bool_input(b)
     out_id = b.add_input()
     agg_id = b.add_input()
-    value = _mux_u256(b, oh, list(columns) + list(result_values))
     is_computed = (
-        _mux_scalar(b, oh[nc:], [b.one()] * len(result_values))
-        if result_values else b.zero()
+        _mux_scalar(b, oh[nc:], [b.one()] * n_results)
+        if n_results else b.zero()
     )
     idx = b.zero()
     for j, bit in enumerate(oh[:nc]):
@@ -296,7 +321,11 @@ def _output_slot(b, columns, result_values) -> _OutputSlot:
     for j, bit in enumerate(oh[nc:]):
         idx = b.mul_add(bit, b.constant(j), idx)
     encoded = [b.mul(active, t) for t in (is_computed, idx, out_id, agg_id)]
-    return _OutputSlot(active, oh, out_id, agg_id, value, encoded)
+    return _OutputSlot(active, oh, out_id, agg_id, encoded)
+
+
+def _output_value(b, slot: _OutputSlot, columns, result_values) -> U256Target:
+    return _mux_u256(b, slot.onehot, list(columns) + list(result_values))
 
 
 @dataclass
@@ -331,6 +360,12 @@ class UniversalQueryCircuit:
         )
         cc = p2h.hash_no_pad([f for v in row for f in u256_to_fields(v)])
         pred, ov1 = eval_predicate(pis.predicate_ops, row, placeholders)
+        if p.num_columns >= 2:
+            # mirror of the circuit's soft secondary-range gating
+            pred = pred and (
+                getattr(bounds, "min_secondary", 0) <= row[1]
+                <= getattr(bounds, "max_secondary", (1 << 256) - 1)
+            )
         outs, ov2 = eval_result_row(pis.result, row, placeholders)
         aggs = [
             int(pis.result.aggregations[j])
@@ -349,27 +384,64 @@ class UniversalQueryCircuit:
         )
 
 
-def build_universal_query_circuit(
-    params: UniversalQueryParams = UniversalQueryParams(),
-    config: Optional[CircuitConfig] = None,
-    builder: Optional[CircuitBuilder] = None,
-) -> UniversalQueryCircuit:
-    p = params
-    b = builder if builder is not None else CircuitBuilder(config or test_config())
+@dataclass
+class QueryStructure:
+    """The SHARED (per-query, row-independent) wires of the universal
+    query circuit — the reference's UniversalQueryHashInputWires
+    (universal_query_gadget.rs:490-560): selectors, placeholder bank,
+    all four query bounds, and the computational/placeholder hashes.
+    A chunk circuit builds this ONCE and evaluates `eval_row` per row."""
 
-    columns = [add_virtual_u256(b) for _ in range(p.num_columns)]
+    params: UniversalQueryParams
+    column_ids: List[Target]
+    ph_name_hs: List[Target]
+    ph_values: List[U256Target]
+    ph_active: List[Target]
+    bound_min: U256Target       # primary
+    bound_max: U256Target
+    bound_min_s: U256Target     # secondary
+    bound_max_s: U256Target
+    pred_slots: List[_OpSlot]
+    res_slots: List[_OpSlot]
+    out_slots: List[_OutputSlot]
+    distinct: Target
+    comp_hash: List[Target]
+    ph_hash: List[Target]
+    assign: callable  # assign(inputs, pis, column_ids_v, placeholders, bounds)
+
+    def agg_ids(self, b) -> List[Target]:
+        return [b.mul(s.active, s.agg_id) for s in self.out_slots]
+
+
+@dataclass
+class RowEval:
+    """Per-row evaluation outputs (the reference's
+    UniversalQueryValueWires)."""
+
+    columns: List[U256Target]
+    non_dummy: Target
+    pred: Target          # predicate AND secondary-in-range AND non_dummy
+    overflow: Target
+    out_values: List[U256Target]  # gated by output-slot activity
+
+
+def build_query_structure(
+    b: CircuitBuilder, p: UniversalQueryParams
+) -> QueryStructure:
     column_ids = b.add_inputs(p.num_columns)
     ph_name_hs = b.add_inputs(p.num_placeholders)
     ph_values = [add_virtual_u256(b) for _ in range(p.num_placeholders)]
     ph_active = [_bool_input(b) for _ in range(p.num_placeholders)]
     bound_min = add_virtual_u256(b)
     bound_max = add_virtual_u256(b)
+    bound_min_s = add_virtual_u256(b)
+    bound_max_s = add_virtual_u256(b)
 
-    pred_slots = _op_bank(b, p.num_predicate_ops, columns, ph_name_hs, ph_values)
-    res_slots = _op_bank(b, p.num_result_ops, columns, ph_name_hs, ph_values)
+    nc = p.num_columns
+    pred_slots = _op_bank(b, p.num_predicate_ops, nc, ph_name_hs)
+    res_slots = _op_bank(b, p.num_result_ops, nc, ph_name_hs)
     out_slots = [
-        _output_slot(b, columns, [s.value for s in res_slots])
-        for _ in range(p.num_outputs)
+        _output_slot(b, nc, p.num_result_ops) for _ in range(p.num_outputs)
     ]
     distinct = _bool_input(b)
 
@@ -387,38 +459,17 @@ def build_universal_query_circuit(
     ch_inputs.append(b.select(distinct, b.constant(4), b.constant(5)))
     comp_hash = b.hash_no_pad(ch_inputs)
 
-    # ---- placeholder hash ----
-    ph_inputs: List[Target] = list(bound_min.limbs) + list(bound_max.limbs)
+    # ---- placeholder hash (commits ALL FOUR query bounds) ----
+    ph_inputs: List[Target] = (
+        list(bound_min.limbs) + list(bound_max.limbs)
+        + list(bound_min_s.limbs) + list(bound_max_s.limbs)
+    )
     for nh, pv, act in zip(ph_name_hs, ph_values, ph_active):
         ph_inputs.append(b.mul(act, nh))
         ph_inputs.extend(b.mul(act, l) for l in pv.limbs)
     ph_hash = b.hash_no_pad(ph_inputs)
 
-    # ---- column commitment + predicate + overflow + outputs ----
-    col_comm = b.hash_no_pad([l for c in columns for l in c.limbs])
-    pred_bit = _last_active_truthy(b, pred_slots)
-    overflow = b.zero()
-    for s in pred_slots + res_slots:
-        overflow = b.logic_or(overflow, s.overflow)
-
-    b.register_public_inputs(comp_hash)
-    b.register_public_inputs(ph_hash)
-    b.register_public_inputs(col_comm)
-    b.register_public_input(pred_bit)
-    b.register_public_input(overflow)
-    for s in out_slots:
-        # aggregation id per output (already committed in the computational
-        # hash; exposed so chunk circuits can aggregate without re-deriving)
-        b.register_public_input(b.mul(s.active, s.agg_id))
-    for s in out_slots:
-        # inactive slots expose zeros (host pads absent outputs with 0)
-        b.register_public_inputs([b.mul(s.active, l) for l in s.value.limbs])
-
-    # ------------------------------------------------------------- assign
-    def assign(inputs, pis, column_ids_v, row, placeholders, bounds):
-        assert len(row) == p.num_columns
-        for t, v in zip(columns, row):
-            set_u256(inputs, t, v)
+    def assign(inputs, pis, column_ids_v, placeholders, bounds):
         for t, v in zip(column_ids, column_ids_v):
             inputs[t] = int(v)
         names = list(pis.placeholder_names)
@@ -435,10 +486,15 @@ def build_universal_query_circuit(
                 inputs[ph_active[k]] = 0
         set_u256(inputs, bound_min, bounds.min_block)
         set_u256(inputs, bound_max, bounds.max_block)
+        set_u256(inputs, bound_min_s, getattr(bounds, "min_secondary", 0))
+        set_u256(
+            inputs, bound_max_s,
+            getattr(bounds, "max_secondary", U256_MAX_CONST),
+        )
         inputs[distinct] = 1 if pis.result.distinct else 0
 
         def assign_operand(slot: _OperandSlot, o: Optional[Operand]):
-            nc, np_ = p.num_columns, p.num_placeholders
+            np_ = p.num_placeholders
             sel = len(slot.onehot) - 1  # default: none (last) when allowed
             cval = 0
             if o is not None:
@@ -494,8 +550,100 @@ def build_universal_query_circuit(
             for k, t in enumerate(s.onehot):
                 inputs[t] = 1 if k == sel else 0
 
+    return QueryStructure(
+        params=p, column_ids=column_ids, ph_name_hs=ph_name_hs,
+        ph_values=ph_values, ph_active=ph_active,
+        bound_min=bound_min, bound_max=bound_max,
+        bound_min_s=bound_min_s, bound_max_s=bound_max_s,
+        pred_slots=pred_slots, res_slots=res_slots, out_slots=out_slots,
+        distinct=distinct, comp_hash=comp_hash, ph_hash=ph_hash,
+        assign=assign,
+    )
+
+
+U256_MAX_CONST = (1 << 256) - 1
+
+
+def eval_row(
+    b: CircuitBuilder,
+    st: QueryStructure,
+    columns: List[U256Target],
+    non_dummy: Optional[Target] = None,
+) -> RowEval:
+    """Evaluate the shared query structure on one row's column values
+    (UniversalQueryValueInputs::build, universal_query_gadget.rs:1307-1440):
+    predicate AND secondary-in-range AND non-dummy, result outputs, and
+    the overflow flag (zeroed for dummy rows)."""
+    from mp2_tpu.circuit.gadgets.u256 import u256_lte
+
+    p = st.params
+    if non_dummy is None:
+        non_dummy = b.one()
+    pred_vals = _op_bank_values(b, st.pred_slots, columns, st.ph_values)
+    res_vals = _op_bank_values(b, st.res_slots, columns, st.ph_values)
+    pred_bit = _last_active_truthy(b, st.pred_slots, pred_vals)
+    # secondary-index range membership is SOFT: out-of-range rows may be
+    # proven (to keep row chains contiguous) but never match
+    if p.num_columns >= 2:
+        in_range = b.logic_and(
+            u256_lte(b, st.bound_min_s, columns[1]),
+            u256_lte(b, columns[1], st.bound_max_s),
+        )
+        pred_bit = b.logic_and(pred_bit, in_range)
+    pred_bit = b.mul(pred_bit, non_dummy)
+    overflow = b.zero()
+    for v in pred_vals + res_vals:
+        overflow = b.logic_or(overflow, v.overflow)
+    overflow = b.mul(overflow, non_dummy)
+    out_values = []
+    for s in st.out_slots:
+        val = _output_value(b, s, columns, [v.value for v in res_vals])
+        out_values.append(
+            U256Target(tuple(b.mul(s.active, l) for l in val.limbs))
+        )
+    return RowEval(
+        columns=columns, non_dummy=non_dummy, pred=pred_bit,
+        overflow=overflow, out_values=out_values,
+    )
+
+
+def build_universal_query_circuit(
+    params: UniversalQueryParams = UniversalQueryParams(),
+    config: Optional[CircuitConfig] = None,
+    builder: Optional[CircuitBuilder] = None,
+) -> UniversalQueryCircuit:
+    p = params
+    b = builder if builder is not None else CircuitBuilder(config or test_config())
+
+    columns = [add_virtual_u256(b) for _ in range(p.num_columns)]
+    st = build_query_structure(b, p)
+    ev = eval_row(b, st, columns)  # non_dummy pinned to 1
+
+    # ---- column commitment ----
+    col_comm = b.hash_no_pad([l for c in columns for l in c.limbs])
+
+    b.register_public_inputs(st.comp_hash)
+    b.register_public_inputs(st.ph_hash)
+    b.register_public_inputs(col_comm)
+    b.register_public_input(ev.pred)
+    b.register_public_input(ev.overflow)
+    for t in st.agg_ids(b):
+        # aggregation id per output (already committed in the computational
+        # hash; exposed so chunk circuits can aggregate without re-deriving)
+        b.register_public_input(t)
+    for val in ev.out_values:
+        # inactive slots expose zeros (host pads absent outputs with 0)
+        b.register_public_inputs(list(val.limbs))
+
+    # ------------------------------------------------------------- assign
+    def assign(inputs, pis, column_ids_v, row, placeholders, bounds):
+        assert len(row) == p.num_columns
+        for t, v in zip(columns, row):
+            set_u256(inputs, t, v)
+        st.assign(inputs, pis, column_ids_v, placeholders, bounds)
+
     data = b.build() if builder is None else None
     return UniversalQueryCircuit(
         params=p, data=data, assign=assign,
-        wires=dict(columns=columns, column_ids=column_ids),
+        wires=dict(columns=columns, column_ids=st.column_ids, structure=st),
     )

@@ -285,12 +285,13 @@ def test_chunk_merge_body():
 
     b = CircuitBuilder(test_config())
     s1, s2 = _Stub(b, W), _Stub(b, W)
-    build_chunk_merge(b, PARAMS, W, True, [s1, s2])
+    assign_nd = build_chunk_merge(b, PARAMS, W, True, [s1, s2])
     data = b.build()
 
     inputs = {}
     s1.assign(inputs, c1)
     s2.assign(inputs, c2)
+    assign_nd(inputs)
     merged = _chunk_piv(pv, W)
     w = data.generate_witness(inputs)
     data.check_witness(w, merged)
@@ -299,6 +300,7 @@ def test_chunk_merge_body():
     inputs = {}
     s1.assign(inputs, c2)
     s2.assign(inputs, c1)
+    assign_nd(inputs)
     with pytest.raises((ValueError, AssertionError)):
         w = data.generate_witness(inputs)
         data.check_witness(w, merged)

@@ -157,6 +157,71 @@ def test_fixed_vk_two_leaf_aggregation():
 
 
 @slow
+def test_fixed_vk_production_config():
+    """The fixed-VK recursion stack at the PRODUCTION CircuitConfig
+    (rate 1/8, cap_height 4, 28 FRI query rounds, 16 PoW bits — the
+    reference's standard recursion shape, recursion-framework/src/
+    universal_verifier_gadget/mod.rs:34-90): discover the standard wrap
+    shape, prove one leaf + one 2-child aggregation, host-verify, and
+    record circuit sizes + prove times."""
+    import time
+
+    from mp2_tpu.prover.config import CircuitConfig
+    from mp2_tpu.recursion.runtime import RecursionFramework
+
+    cfg = CircuitConfig()  # production FRI soundness
+    assert cfg.fri.num_query_rounds == 28 and cfg.fri.cap_height == 4
+    t0 = time.perf_counter()
+    fw = RecursionFramework(cfg, num_user_pis=4, set_height=2)
+
+    def leaf_build(b):
+        x = b.add_input()
+        h = b.hash_no_pad([x])
+        b.register_public_inputs(h)
+
+        def assign(inputs, xv):
+            inputs[x] = xv
+
+        return assign
+
+    def agg_build(b, children):
+        l = children[0].public_inputs()[:4]
+        r = children[1].public_inputs()[:4]
+        h = b.hash_no_pad(l + r)
+        b.register_public_inputs(h)
+        return None
+
+    fw.add_leaf_circuit("leaf", leaf_build)
+    fw.add_aggregation_circuit("node", 2, agg_build)
+    vk = fw.finalize()
+    t_build = time.perf_counter() - t0
+    sizes = {
+        name: fw.members[name].data.n for name in ("leaf", "node")
+    } if hasattr(fw, "members") else {}
+
+    t0 = time.perf_counter()
+    e1 = fw.prove_leaf("leaf", (11,), list(p2h.hash_no_pad([11])))
+    t_leaf = time.perf_counter() - t0
+    e2 = fw.prove_leaf("leaf", (22,), list(p2h.hash_no_pad([22])))
+    expected = p2h.hash_no_pad(
+        list(p2h.hash_no_pad([11])) + list(p2h.hash_no_pad([22]))
+    )
+    t0 = time.perf_counter()
+    agg = fw.prove_aggregation("node", [e1, e2], (), list(expected))
+    t_agg = time.perf_counter() - t0
+    assert fw.verify(agg)
+    assert tuple(agg.proof.public_inputs[-4:]) == vk
+
+    bad = copy.deepcopy(agg)
+    bad.proof.public_inputs[0] = (bad.proof.public_inputs[0] + 1) % P
+    assert not fw.verify(bad)
+    print(
+        f"PRODUCTION shape: build {t_build:.0f}s sizes={sizes} "
+        f"leaf prove {t_leaf:.1f}s agg prove {t_agg:.1f}s"
+    )
+
+
+@slow
 def test_fixed_vk_sixteen_leaf_aggregation():
     """BASELINE config 3: SIXTEEN leaf proofs aggregated in a binary tree
     (8 -> 4 -> 2 -> 1) under ONE fixed VK — every proof in the tree wraps
