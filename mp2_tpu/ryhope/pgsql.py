@@ -13,7 +13,10 @@ Role of ryhope's storage::pgsql (/root/reference/ryhope/src/storage/pgsql/):
 The environment ships no Postgres server, so `MockPg` executes the exact
 statement shapes this module emits against in-memory tables — the SQL
 text itself is what a real psycopg2 connection would receive (parameter
-style %s).  Payloads/keys serialize with pickle (the JSONB stand-in).
+style %s).  Keys and payloads serialize as tagged JSON text (the JSONB
+stand-in, storages.rs:67) so the parsil executor's companion SQL can
+evaluate `payload -> 'cells' -> '<id>' ->> 'value'` accessors against
+this storage; only the opaque `tree` state snapshot stays pickled.
 """
 
 from __future__ import annotations
@@ -26,11 +29,15 @@ MAX_EPOCH = 1 << 62
 
 
 def _enc(obj) -> str:
-    return pickle.dumps(obj).hex()
+    from mp2_tpu.ryhope.jsonpayload import to_json
+
+    return to_json(obj)
 
 
 def _dec(blob: str):
-    return pickle.loads(bytes.fromhex(blob))
+    from mp2_tpu.ryhope.jsonpayload import from_json
+
+    return from_json(blob)
 
 
 class PgsqlTreeStore:
@@ -322,6 +329,13 @@ class _MockCursor:
                 for r in self.db.tables[m.group(1)]
                 if r["user_epoch"] == params[0]
             ]
+            return
+        if s.upper().startswith("SELECT"):
+            # companion-SQL dialect (parsil executor output): evaluate
+            # against the same stored rows the statements above maintain
+            from mp2_tpu.ryhope.sqlexec import run_select
+
+            self._rows = run_select(s, params, self.db.tables)
             return
         raise NotImplementedError(f"MockPg cannot execute: {s}")
 
