@@ -172,6 +172,14 @@ def canon_lazy(lo, hi):
     return canon(lo, hi)
 
 
+def exp7_lazy(lo, hi):
+    """x^7 mod p with non-canonical intermediates and result."""
+    l2, h2 = mul_lazy(lo, hi, lo, hi)
+    l3, h3 = mul_lazy(l2, h2, lo, hi)
+    l4, h4 = mul_lazy(l2, h2, l2, h2)
+    return mul_lazy(l4, h4, l3, h3)
+
+
 def _mul_pow2_32(lo, hi):
     """x * 2^32 mod p, lazy: (lo,hi)*2^32 = lo*2^32 + hi*(2^32 - 1)."""
     h1, c0 = addc(lo, hi)  # new hi = lo + hi (carry = overflow * 2^64)

@@ -42,34 +42,36 @@ _DIAG1_LO, _DIAG1_HI = _split_table([(d - 1) % K.P for d in _INT_DIAG])  # (12,)
 
 
 def _dbl(lo, hi):
-    return K.add(lo, hi, lo, hi)
+    return K.add_lazy(lo, hi, lo, hi)
 
 
 def _external(lo, hi):
-    """(12, T) external linear layer M_E = circ(2*M4, M4, M4)."""
+    """(12, T) external linear layer M_E = circ(2*M4, M4, M4); the whole
+    layer runs in the LAZY dialect (non-canonical u64 pairs congruent
+    mod p) — only the kernel output is canonicalized."""
     T = lo.shape[-1]
     rl = lo.reshape(3, 4, T)
     rh = hi.reshape(3, 4, T)
     rows = [(rl[:, i], rh[:, i]) for i in range(4)]  # 4 x (3, T)
     c0, c1, c2, c3 = rows
-    t0 = K.add(*c0, *c1)
-    t1 = K.add(*c2, *c3)
-    t2 = K.add(*_dbl(*c1), *t1)
-    t3 = K.add(*_dbl(*c3), *t0)
-    t4 = K.add(*_dbl(*_dbl(*t1)), *t3)
-    t5 = K.add(*_dbl(*_dbl(*t0)), *t2)
-    t6 = K.add(*t3, *t5)
-    t7 = K.add(*t2, *t4)
+    t0 = K.add_lazy(*c0, *c1)
+    t1 = K.add_lazy(*c2, *c3)
+    t2 = K.add_lazy(*_dbl(*c1), *t1)
+    t3 = K.add_lazy(*_dbl(*c3), *t0)
+    t4 = K.add_lazy(*_dbl(*_dbl(*t1)), *t3)
+    t5 = K.add_lazy(*_dbl(*_dbl(*t0)), *t2)
+    t6 = K.add_lazy(*t3, *t5)
+    t7 = K.add_lazy(*t2, *t4)
     m = [t6, t5, t7, t4]  # output positions, each (3, T)
     tot = []
     for i in range(4):
-        a = K.add(m[i][0][0], m[i][1][0], m[i][0][1], m[i][1][1])
-        tot.append(K.add(*a, m[i][0][2], m[i][1][2]))
+        a = K.add_lazy(m[i][0][0], m[i][1][0], m[i][0][1], m[i][1][1])
+        tot.append(K.add_lazy(*a, m[i][0][2], m[i][1][2]))
     out_l = []
     out_h = []
     for c in range(3):
         for i in range(4):
-            s = K.add(m[i][0][c], m[i][1][c], *tot[i])
+            s = K.add_lazy(m[i][0][c], m[i][1][c], *tot[i])
             out_l.append(s[0])
             out_h.append(s[1])
     return jnp.stack(out_l), jnp.stack(out_h)
@@ -78,9 +80,12 @@ def _external(lo, hi):
 def _internal(lo, hi, dlo, dhi):
     slo, shi = lo[0], hi[0]
     for i in range(1, WIDTH):
-        slo, shi = K.add(slo, shi, lo[i], hi[i])
-    ml, mh = K.mul(lo, hi, dlo, dhi)  # (12, T) x (12, 1) broadcast
-    return K.add(ml, mh, jnp.broadcast_to(slo, ml.shape), jnp.broadcast_to(shi, mh.shape))
+        slo, shi = K.add_lazy(slo, shi, lo[i], hi[i])
+    ml, mh = K.mul_lazy(lo, hi, dlo, dhi)  # (12, T) x (12, 1) broadcast
+    return K.add_lazy(
+        ml, mh,
+        jnp.broadcast_to(slo, ml.shape), jnp.broadcast_to(shi, mh.shape),
+    )
 
 
 def _kernel(st_ref, ext_ref, int_ref, diag_ref, out_ref):
@@ -101,15 +106,15 @@ def _kernel(st_ref, ext_ref, int_ref, diag_ref, out_ref):
     def full_round(r, carry):
         lo, hi = carry
         rc = ext_ref[r]  # (32, T)
-        sl, sh = K.add(lo, hi, rc[0:WIDTH], rc[16 : 16 + WIDTH])
-        sl, sh = K.exp7(sl, sh)
+        sl, sh = K.add_lazy(lo, hi, rc[0:WIDTH], rc[16 : 16 + WIDTH])
+        sl, sh = K.exp7_lazy(sl, sh)
         return _external(sl, sh)
 
     def partial_round(r, carry):
         lo, hi = carry
         rc = int_ref[r]  # (8, T)
-        s0l, s0h = K.add(lo[0:1, :], hi[0:1, :], rc[0:1], rc[1:2])
-        e0l, e0h = K.exp7(s0l, s0h)
+        s0l, s0h = K.add_lazy(lo[0:1, :], hi[0:1, :], rc[0:1], rc[1:2])
+        e0l, e0h = K.exp7_lazy(s0l, s0h)
         lo = jnp.concatenate([e0l, lo[1:]], axis=0)
         hi = jnp.concatenate([e0h, hi[1:]], axis=0)
         return _internal(lo, hi, dlo, dhi)
@@ -117,6 +122,7 @@ def _kernel(st_ref, ext_ref, int_ref, diag_ref, out_ref):
     lo, hi = jax.lax.fori_loop(0, half, full_round, (lo, hi))
     lo, hi = jax.lax.fori_loop(0, ROUNDS_P, partial_round, (lo, hi))
     lo, hi = jax.lax.fori_loop(half, ROUNDS_F, full_round, (lo, hi))
+    lo, hi = K.canon_lazy(lo, hi)
     out_ref[: WIDTH, :] = lo
     out_ref[WIDTH :, :] = hi
 

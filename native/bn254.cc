@@ -1058,13 +1058,44 @@ static void setup(const R1CS &r, u64 seed, ProvingKey &pk, VerifyingKey &vk) {
   while ((1 << log_m) < m) log_m++;
   U256 wgen = fr_root_of_unity(log_m);
   U256 minv = f_inv(fr_from_u64((u64)m), FR);
+  // L_j(tau) for all j: chunked + threaded, with Montgomery batch
+  // inversion per chunk (one f_inv per 4096 denominators)
   std::vector<U256> lag(m);
-  U256 wj = FR.one_m;
-  for (int j = 0; j < m; j++) {
-    U256 num = mont_mul(zt, wj, FR);
-    U256 den = f_sub(tau, wj, FR);
-    lag[j] = mont_mul(mont_mul(num, f_inv(den, FR), FR), minv, FR);
-    wj = mont_mul(wj, wgen, FR);
+  {
+    unsigned nthreads = std::thread::hardware_concurrency();
+    if (nthreads == 0) nthreads = 1;
+    std::atomic<int> next(0);
+    const int CHUNK = 4096;
+    auto worker = [&] {
+      std::vector<U256> den(CHUNK), pre(CHUNK);
+      for (int base; (base = next.fetch_add(CHUNK)) < m;) {
+        int end = base + CHUNK < m ? base + CHUNK : m;
+        int len = end - base;
+        U256 e{{(u64)base, 0, 0, 0}};
+        U256 wj = f_pow(wgen, e, FR);
+        for (int i = 0; i < len; i++) {
+          den[i] = f_sub(tau, wj, FR);
+          lag[base + i] = wj;  // stash w^j
+          wj = mont_mul(wj, wgen, FR);
+        }
+        // batch invert den[0..len)
+        U256 acc = FR.one_m;
+        for (int i = 0; i < len; i++) {
+          pre[i] = acc;
+          acc = mont_mul(acc, den[i], FR);
+        }
+        U256 inv = f_inv(acc, FR);
+        for (int i = len - 1; i >= 0; i--) {
+          U256 di = mont_mul(inv, pre[i], FR);
+          inv = mont_mul(inv, den[i], FR);
+          U256 num = mont_mul(zt, lag[base + i], FR);
+          lag[base + i] = mont_mul(mont_mul(num, di, FR), minv, FR);
+        }
+      }
+    };
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nthreads; t++) ts.emplace_back(worker);
+    for (auto &t : ts) t.join();
   }
 
   int nw = r.num_wires;
@@ -1095,24 +1126,65 @@ static void setup(const R1CS &r, u64 seed, ProvingKey &pk, VerifyingKey &vk) {
   vk.gamma2 = pk.gamma2;
   vk.delta2 = pk.delta2;
 
-  for (int i = 0; i < nw; i++) {
-    pk.a_query.push_back(g1_mul_gen(from_mont(At[i], FR)));
-    pk.b1_query.push_back(g1_mul_gen(from_mont(Bt[i], FR)));
-    pk.b2_query.push_back(g2_mul_gen(from_mont(Bt[i], FR)));
-    U256 k = f_add(f_add(mont_mul(beta, At[i], FR), mont_mul(alpha, Bt[i], FR), FR),
-                   Ct[i], FR);
-    if (i <= r.num_public) {
-      vk.ic.push_back(g1_mul_gen(from_mont(mont_mul(k, ginv, FR), FR)));
-    } else {
-      pk.l_query.push_back(g1_mul_gen(from_mont(mont_mul(k, dinv, FR), FR)));
-    }
+  // per-wire CRS points: independent fixed-base muls — parallelize in
+  // fixed-size chunks (deterministic layout; threads write disjoint slots)
+  pk.a_query.resize(nw);
+  pk.b1_query.resize(nw);
+  pk.b2_query.resize(nw);
+  int n_pub = r.num_public + 1;
+  vk.ic.resize(n_pub);
+  pk.l_query.resize(nw - n_pub);
+  {
+    unsigned nthreads = std::thread::hardware_concurrency();
+    if (nthreads == 0) nthreads = 1;
+    std::atomic<int> next(0);
+    const int CHUNK = 1024;
+    auto worker = [&] {
+      for (int base; (base = next.fetch_add(CHUNK)) < nw;) {
+        int end = base + CHUNK < nw ? base + CHUNK : nw;
+        for (int i = base; i < end; i++) {
+          pk.a_query[i] = g1_mul_gen(from_mont(At[i], FR));
+          pk.b1_query[i] = g1_mul_gen(from_mont(Bt[i], FR));
+          pk.b2_query[i] = g2_mul_gen(from_mont(Bt[i], FR));
+          U256 k = f_add(
+              f_add(mont_mul(beta, At[i], FR), mont_mul(alpha, Bt[i], FR), FR),
+              Ct[i], FR);
+          if (i < n_pub) {
+            vk.ic[i] = g1_mul_gen(from_mont(mont_mul(k, ginv, FR), FR));
+          } else {
+            pk.l_query[i - n_pub] =
+                g1_mul_gen(from_mont(mont_mul(k, dinv, FR), FR));
+          }
+        }
+      }
+    };
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nthreads; t++) ts.emplace_back(worker);
+    for (auto &t : ts) t.join();
   }
-  // h_query: [tau^i t(tau)/delta]1 for i < m-1
-  U256 pow = FR.one_m;
-  for (int i = 0; i < m; i++) {
-    U256 k = mont_mul(mont_mul(pow, zt, FR), dinv, FR);
-    pk.h_query.push_back(g1_mul_gen(from_mont(k, FR)));
-    pow = mont_mul(pow, tau, FR);
+  // h_query: [tau^i t(tau)/delta]1 for i < m-1 — tau^i per chunk via one
+  // f_pow at the chunk base, then sequential multiplies inside the chunk
+  pk.h_query.resize(m);
+  {
+    unsigned nthreads = std::thread::hardware_concurrency();
+    if (nthreads == 0) nthreads = 1;
+    std::atomic<int> next(0);
+    const int CHUNK = 1024;
+    auto worker = [&] {
+      for (int base; (base = next.fetch_add(CHUNK)) < m;) {
+        int end = base + CHUNK < m ? base + CHUNK : m;
+        U256 e{{(u64)base, 0, 0, 0}};
+        U256 pow = f_pow(tau, e, FR);
+        for (int i = base; i < end; i++) {
+          U256 k = mont_mul(mont_mul(pow, zt, FR), dinv, FR);
+          pk.h_query[i] = g1_mul_gen(from_mont(k, FR));
+          pow = mont_mul(pow, tau, FR);
+        }
+      }
+    };
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nthreads; t++) ts.emplace_back(worker);
+    for (auto &t : ts) t.join();
   }
 }
 
