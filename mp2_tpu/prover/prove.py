@@ -610,16 +610,14 @@ def _make_zs_fn(data: CircuitData):
     return jax.jit(fn)
 
 
-def _make_quotient_fn(data: CircuitData):
-    """Build the per-circuit jitted quotient evaluator.
-
-    Challenges arrive as traced GF scalars so one compilation serves every
-    proof of this circuit.
-    """
+def _make_quotient_body(data: CircuitData):
+    """The POINTWISE-in-the-domain part of the quotient evaluation: every
+    input (LDE columns, the rotated z columns, the x/Z_H^-1/L0 tables) is
+    indexed only at the same domain position, so the whole body shards
+    over the LDE domain axis with NO collectives — the mp-axis
+    decomposition used by parallel.mesh.sharded_quotient.  The z-rotation
+    (the only cross-position access) happens at the CALLER."""
     cfg = data.config
-    n, log_n = data.n, data.log_n
-    rate = cfg.fri.rate_bits
-    big = n << rate
     W = cfg.num_wires
     T = data.num_gate_types
     nC = cfg.num_constants
@@ -628,14 +626,11 @@ def _make_quotient_fn(data: CircuitData):
     k_coeffs = list(data.k_coeffs)
     gate_types = list(data.gate_types)
 
-    x_t, zh_inv_t, l0_t = _lde_tables(log_n, rate)
-
     assert W % chunk == 0, "vectorized chunks assume chunk | W"
 
-    def fn(fixed_lde, wire_lde, zs_lde, betas, gammas, alphas, pi_hash):
-        x = gl.from_u64(x_t)
-        zh_inv = gl.from_u64(zh_inv_t)
-        l0 = gl.from_u64(l0_t)
+    def body(fixed_lde, wire_lde, zs_lde, zs_next, x, zh_inv, l0,
+             betas, gammas, alphas, pi_hash):
+        big = x.shape[-1]  # the (possibly per-shard) domain slice
         alg = DeviceAlgebra((big,))
         sel = [fixed_lde[t] for t in range(T)]
         consts = [fixed_lde[T + j] for j in range(nC)]
@@ -656,7 +651,7 @@ def _make_quotient_fn(data: CircuitData):
             base = c * (1 + cfg.num_partial_products)
             z = zs_lde[base]
             partials = zs_lde[base + 1 : base + 1 + cfg.num_partial_products]
-            z_next = gl.roll(z, -(1 << rate), axis=-1)
+            z_next = zs_next[c]
             groups.append(
                 gl.mul(l0, gl.sub(z, gl.ones((big,)))).reshape(1, big)
             )
@@ -689,6 +684,40 @@ def _make_quotient_fn(data: CircuitData):
             acc = gl.sum_axis(gl.mul(all_terms, apows.reshape(K, 1)), axis=0)
             outs.append(gl.mul(acc, zh_inv))
         return gl.stack(outs, axis=0)
+
+    return body
+
+
+def _z_rotations(data: CircuitData, zs_lde: GF) -> GF:
+    """(nc, big) z columns rotated by one subgroup step (the cross-position
+    access hoisted out of the quotient body)."""
+    cfg = data.config
+    rate = cfg.fri.rate_bits
+    rows = []
+    for c in range(cfg.num_challenges):
+        base = c * (1 + cfg.num_partial_products)
+        rows.append(gl.roll(zs_lde[base], -(1 << rate), axis=-1))
+    return gl.stack(rows, axis=0)
+
+
+def _make_quotient_fn(data: CircuitData):
+    """Build the per-circuit jitted quotient evaluator.
+
+    Challenges arrive as traced GF scalars so one compilation serves every
+    proof of this circuit.
+    """
+    log_n = data.log_n
+    rate = data.config.fri.rate_bits
+    x_t, zh_inv_t, l0_t = _lde_tables(log_n, rate)
+    body = _make_quotient_body(data)
+
+    def fn(fixed_lde, wire_lde, zs_lde, betas, gammas, alphas, pi_hash):
+        x = gl.from_u64(x_t)
+        zh_inv = gl.from_u64(zh_inv_t)
+        l0 = gl.from_u64(l0_t)
+        zs_next = _z_rotations(data, zs_lde)
+        return body(fixed_lde, wire_lde, zs_lde, zs_next, x, zh_inv, l0,
+                    betas, gammas, alphas, pi_hash)
 
     return jax.jit(fn)
 

@@ -86,3 +86,46 @@ def test_tp2_verifier_groth16_roundtrip(inner):
     data, proof, pis = inner
     r1cs, _ = build_tp2_verifier_r1cs(data, proof)
     assert _run_r1cs(r1cs, 42, False) == 0
+
+
+@slow
+def test_tp2_verifier_r1cs_production_shape():
+    """VERDICT r3 item 3: the in-SNARK verifier R1CS built against a proof
+    at the PRODUCTION CircuitConfig (rate 1/8, cap_height 4, 28 FRI query
+    rounds, 16 PoW bits — the reference verifies production plonky2 shapes
+    in gnark, gnark-utils/lib/lib.go:1-50).  Builds via the stamped
+    Poseidon2 template and satisfaction-checks; sizes/times printed for
+    STATUS."""
+    import time
+
+    from mp2_tpu.groth16.r1cs_builder import build_tp2_verifier_r1cs
+    from mp2_tpu.prover.config import CircuitConfig
+
+    cfg = CircuitConfig()  # production FRI soundness
+    assert cfg.fri.num_query_rounds == 28 and cfg.fri.cap_height == 4
+
+    b = CircuitBuilder(cfg)
+    xs = b.add_inputs(2)
+    h = b.hash_no_pad(xs)
+    b.register_public_inputs(h + xs)
+    data = b.build()
+    vals = [5, 7]
+    w = data.generate_witness(dict(zip(xs, vals)))
+    pis = list(p2h.hash_no_pad(vals)) + vals
+    t0 = time.perf_counter()
+    proof = prove(data, w, pis)
+    t_prove = time.perf_counter() - t0
+    assert verify(data, proof)
+
+    t0 = time.perf_counter()
+    r1cs, _ = build_tp2_verifier_r1cs(data, proof)
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    assert r1cs.check()
+    t_check = time.perf_counter() - t0
+    assert r1cs.witness[1 : 1 + len(pis)] == [int(v) % P for v in pis]
+    print(
+        f"PRODUCTION verifier R1CS: {len(r1cs.rows)} rows, "
+        f"{len(r1cs.witness)} wires (inner prove {t_prove:.0f}s, "
+        f"build {t_build:.0f}s, check {t_check:.0f}s)"
+    )
