@@ -34,10 +34,15 @@ predecessor/successor info in the rows tree and index tree; chunk circuits
 enforce adjacent proven rows are consecutive, and the revelation enforces
 the first row has no in-range predecessor and the last row no in-range
 successor — so the proven set is exactly the rows of the committed trees
-within the query bounds.  Secondary-index bounds are fixed to the full
-range (the parsil subset constrains only the block range); rows trees are
-never empty in this pipeline, so the non-existence member is only needed
-for restricted secondary ranges (tracked in STATUS.md).
+within the query bounds.  Secondary-index bounds (QueryBounds min/max
+secondary, query/utils.rs:131-199) are committed in the placeholder hash
+and enforced as SOFT predicate gating inside eval_row: this stack proves
+ALL rows of every in-range block (completeness by superset) and lets the
+predicate reject out-of-secondary-range rows, so chain consecutiveness
+always runs over the FULL secondary range — a deliberate deviation from
+row_chunk_gadgets, which skips out-of-range rows and needs a rows-tree
+non-existence member for empty secondary ranges (here an empty secondary
+range is just a proven all-rows chunk chain with zero matches).
 """
 
 from __future__ import annotations
@@ -297,9 +302,16 @@ def build_chunk_from_rows(b, p, W, bind, foreign):
         min_p, max_p, min_s, max_s = bounds_t
         for r in rows[1:]:
             _connect_lists(b, r.index_root, r0.index_root)
+        # chain consecutiveness runs over the FULL secondary range: this
+        # stack proves ALL rows of every in-range block (completeness by
+        # superset — the witnessed secondary bounds only gate the
+        # predicate), so out-of-secondary-range rows are legitimate chain
+        # members (deviation from row_chunk_gadgets, which skips them)
+        full_lo = _u256_const(b, 0)
+        full_hi = _u256_const(b, U256_MAX)
         for a, c in zip(rows, rows[1:]):
             ok = are_consecutive_rows(
-                b, a.boundary, c.boundary, min_p, max_p, min_s, max_s
+                b, a.boundary, c.boundary, min_p, max_p, full_lo, full_hi
             )
             b.connect(ok, b.one())
         pis += list(r0.index_root)
@@ -372,8 +384,10 @@ def build_chunk_merge(b, p, W, bind, children):
                 (l.min_s, r.min_s), (l.max_s, r.max_s),
             ):
                 _connect_lists(b, a.limbs, c.limbs)
+            # full secondary range for chain purposes (see build_row_chunk)
             ok = are_consecutive_rows(
-                b, right_b, r.left_b, l.min_p, l.max_p, l.min_s, l.max_s
+                b, right_b, r.left_b, l.min_p, l.max_p,
+                _u256_const(b, 0), _u256_const(b, U256_MAX),
             )
             # consecutive required only for non-dummy chunks
             b.connect(b.mul(nd, ok), nd)
@@ -473,8 +487,12 @@ def build_row_chunk(
             c = _row_contribution(b, rw["ev"].pred, rw["ev"].out_values[j],
                                   ohs[j])
             accs[j] = _combine(b, accs[j], c, ohs[j])
+        # FULL secondary range for the chain: all rows of an in-range
+        # block are proven (superset completeness); the witnessed
+        # secondary bounds gate only the predicate (eval_row)
         ok = are_consecutive_rows(
-            b, right_b, rw["boundary"], min_p, max_p, min_s, max_s
+            b, right_b, rw["boundary"], min_p, max_p,
+            _u256_const(b, 0), _u256_const(b, U256_MAX),
         )
         b.connect(b.mul(nd, ok), nd)  # consecutive unless dummy
         right_b = _select_boundary(b, nd, rw["boundary"], right_b)

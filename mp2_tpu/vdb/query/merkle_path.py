@@ -389,6 +389,10 @@ def set_merkle_path_with_neighbors(
         for t, v in zip(child_t.inner, cw["inner"]):
             inputs[t] = int(v)
     path = w["levels"]
+    assert len(path) <= len(mt.levels), (
+        f"Merkle path needs {len(path)} levels but the circuit was built "
+        f"with depth {len(mt.levels)} — raise the tree-depth bound"
+    )
     for i, lv in enumerate(mt.levels):
         if i < len(path):
             p = path[i]
