@@ -63,6 +63,7 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64, ctypes.c_int,
         ]
         lib.bn254_groth16_r1cs.restype = ctypes.c_int
+        lib.bn254_groth16_csr.restype = ctypes.c_int
         if lib.bn254_selftest() != 0:
             return None
         _LIB = lib
@@ -125,6 +126,37 @@ def _run_r1cs(r1cs, seed: int, tamper: bool) -> int:
     return lib.bn254_groth16_r1cs(
         ctypes.c_longlong(len(r1cs.rows)),
         ctypes.c_longlong(len(r1cs.witness)),
+        ctypes.c_longlong(r1cs.num_public),
+        ptr(ap, LL), ptr(aw, II), ptr(ac, UU),
+        ptr(bp, LL), ptr(bw, II), ptr(bc, UU),
+        ptr(cp, LL), ptr(cw, II), ptr(cc, UU),
+        ptr(wit, UU), ctypes.c_uint64(seed), ctypes.c_int(1 if tamper else 0),
+    )
+
+
+def _run_r1cs_csr(r1cs, seed: int, tamper: bool) -> int:
+    """Zero-copy Groth16 run for very large statements: packs the R1CS
+    into CSR arrays while FREEING the Python rows (to_arrays_consuming),
+    then hands the buffers to bn254_groth16_csr, which consumes them in
+    place (no native-side matrix copy).  The R1CS object is unusable
+    afterwards."""
+    lib = _load()
+    if lib is None:
+        raise Groth16Unavailable()
+    n_rows = len(r1cs.rows)
+    n_wires = len(r1cs.witness)
+    (ap, aw, ac), (bp, bw, bc), (cp, cw, cc), wit = r1cs.to_arrays_consuming()
+    r1cs.witness = []
+    LL = ctypes.POINTER(ctypes.c_longlong)
+    II = ctypes.POINTER(ctypes.c_int)
+    UU = ctypes.POINTER(ctypes.c_uint64)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(t)
+
+    return lib.bn254_groth16_csr(
+        ctypes.c_longlong(n_rows),
+        ctypes.c_longlong(n_wires),
         ctypes.c_longlong(r1cs.num_public),
         ptr(ap, LL), ptr(aw, II), ptr(ac, UU),
         ptr(bp, LL), ptr(bw, II), ptr(bc, UU),

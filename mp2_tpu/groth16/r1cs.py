@@ -382,6 +382,54 @@ class R1CS:
                 return False
         return True
 
+    def to_arrays_consuming(self):
+        """Memory-frugal variant of to_arrays for ~100M-row statements:
+        one pass over the rows, emitting all three CSR matrices into
+        preallocated numpy buffers and FREEING each Python row as it is
+        consumed (the Python dict representation is several times larger
+        than the packed arrays).  The R1CS rows are GONE afterwards —
+        only the arrays remain.  Returns the same tuple as to_arrays."""
+        import numpy as np
+
+        n = len(self.rows)
+        nnz = [0, 0, 0]
+        for row in self.rows:
+            for k in range(3):
+                nnz[k] += len(row[k])
+        ptrs = [np.zeros(n + 1, dtype=np.int64) for _ in range(3)]
+        wires = [np.empty(nnz[k], dtype=np.int32) for k in range(3)]
+        coeffs = [np.empty((nnz[k], 4), dtype=np.uint64) for k in range(3)]
+        pos = [0, 0, 0]
+        MASK = 0xFFFFFFFFFFFFFFFF
+        for i in range(n):
+            row = self.rows[i]
+            for k in range(3):
+                pk = pos[k]
+                for wi, co in sorted(row[k].items()):
+                    wires[k][pk] = wi
+                    c = coeffs[k][pk]
+                    c[0] = co & MASK
+                    c[1] = (co >> 64) & MASK
+                    c[2] = (co >> 128) & MASK
+                    c[3] = (co >> 192) & MASK
+                    pk += 1
+                pos[k] = pk
+                ptrs[k][i + 1] = pk
+            self.rows[i] = None  # free as we go
+        self.rows.clear()
+        wl = np.empty((len(self.witness), 4), dtype=np.uint64)
+        for i, v in enumerate(self.witness):
+            wl[i, 0] = v & MASK
+            wl[i, 1] = (v >> 64) & MASK
+            wl[i, 2] = (v >> 128) & MASK
+            wl[i, 3] = (v >> 192) & MASK
+        return (
+            (ptrs[0], wires[0], coeffs[0]),
+            (ptrs[1], wires[1], coeffs[1]),
+            (ptrs[2], wires[2], coeffs[2]),
+            wl,
+        )
+
     def to_arrays(self):
         """Flatten to (ptr, wire, coeff-limb) arrays per matrix + witness
         limbs — the native bn254 generic intake format."""

@@ -24,7 +24,18 @@ SBOX_DEGREE = 7
 ROUNDS_F = 8  # external (full) rounds, split 4 + 4
 ROUNDS_P = 22  # internal (partial) rounds
 
-_DOMAIN = b"mp2-tpu/poseidon2/goldilocks/t12/v1"
+# Table-set selector: every consumer (host golden model, Pallas kernel,
+# in-circuit gate, in-SNARK replay) reads through load_table(), so swapping
+# the set — e.g. dropping in the canonical poseidon2_plonky2 tables for
+# transcript interop — is a constants-only change.  MP2_P2_DOMAIN picks an
+# alternative deterministic set; tests/test_poseidon2.py proves the whole
+# pipeline (params rebuild -> prove -> verify) re-derives under a second set.
+import os as _os
+
+_DOMAIN = (
+    b"mp2-tpu/poseidon2/goldilocks/t12/"
+    + _os.environ.get("MP2_P2_DOMAIN", "v1").encode()
+)
 
 
 def _sample_field_elements(tag: bytes, count: int) -> list[int]:

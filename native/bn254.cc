@@ -973,10 +973,50 @@ struct SparseTerm {
 };
 typedef std::vector<SparseTerm> Row;
 
+// Zero-copy CSR view over caller-owned arrays (raw, non-Montgomery
+// coefficients): the 100M-row production verifier statement cannot afford
+// the vector<Row> copy, so setup/prove consume this view directly and
+// convert coefficients to Montgomery on the fly (one extra mont_mul per
+// term use).
+struct CSRView {
+  const long long *ptr = nullptr;
+  const int *wire = nullptr;
+  const u64 *coef = nullptr;
+};
+
 struct R1CS {
   int num_wires;   // including constant wire 0
   int num_public;  // wires 1..num_public are public
   std::vector<Row> A, B, C;
+  CSRView csrA, csrB, csrC;
+  long long csr_rows = -1;  // >= 0 => CSR mode (A/B/C vectors unused)
+
+  long long rows() const {
+    return csr_rows >= 0 ? csr_rows : (long long)A.size();
+  }
+  bool csr() const { return csr_rows >= 0; }
+  // visit matrix m (0=A,1=B,2=C) row i: f(wire, coeff_montgomery)
+  template <typename F>
+  void for_terms(int m, long long i, F f) const {
+    if (csr()) {
+      const CSRView &v = m == 0 ? csrA : (m == 1 ? csrB : csrC);
+      for (long long j = v.ptr[i]; j < v.ptr[i + 1]; j++) {
+        U256 c{{v.coef[4 * j], v.coef[4 * j + 1], v.coef[4 * j + 2],
+                v.coef[4 * j + 3]}};
+        f(v.wire[j], to_mont(c, FR));
+      }
+    } else {
+      const std::vector<Row> &mm = m == 0 ? A : (m == 1 ? B : C);
+      for (const auto &t : mm[i]) f(t.wire, t.coeff);
+    }
+  }
+  U256 eval(int m, long long i, const std::vector<U256> &w) const {
+    U256 acc = u256_zero();
+    for_terms(m, i, [&](int wi, const U256 &c) {
+      acc = f_add(acc, mont_mul(c, w[wi], FR), FR);
+    });
+    return acc;
+  }
 };
 
 static R1CS binding_r1cs(int n) {
@@ -1033,7 +1073,7 @@ static U256 eval_row(const Row &row, const std::vector<U256> &w) {
 
 static void setup(const R1CS &r, u64 seed, ProvingKey &pk, VerifyingKey &vk) {
   int m = 1;
-  while (m < (int)r.A.size()) m <<= 1;
+  while (m < r.rows()) m <<= 1;
   u64 s = seed;
   U256 alpha = fr_rand(&s), beta = fr_rand(&s), gamma = fr_rand(&s),
        delta = fr_rand(&s), tau = fr_rand(&s);
@@ -1101,13 +1141,16 @@ static void setup(const R1CS &r, u64 seed, ProvingKey &pk, VerifyingKey &vk) {
   int nw = r.num_wires;
   std::vector<U256> At(nw, u256_zero()), Bt(nw, u256_zero()),
       Ct(nw, u256_zero());
-  for (size_t j = 0; j < r.A.size(); j++) {
-    for (auto &t : r.A[j])
-      At[t.wire] = f_add(At[t.wire], mont_mul(t.coeff, lag[j], FR), FR);
-    for (auto &t : r.B[j])
-      Bt[t.wire] = f_add(Bt[t.wire], mont_mul(t.coeff, lag[j], FR), FR);
-    for (auto &t : r.C[j])
-      Ct[t.wire] = f_add(Ct[t.wire], mont_mul(t.coeff, lag[j], FR), FR);
+  for (long long j = 0; j < r.rows(); j++) {
+    r.for_terms(0, j, [&](int wi, const U256 &c) {
+      At[wi] = f_add(At[wi], mont_mul(c, lag[j], FR), FR);
+    });
+    r.for_terms(1, j, [&](int wi, const U256 &c) {
+      Bt[wi] = f_add(Bt[wi], mont_mul(c, lag[j], FR), FR);
+    });
+    r.for_terms(2, j, [&](int wi, const U256 &c) {
+      Ct[wi] = f_add(Ct[wi], mont_mul(c, lag[j], FR), FR);
+    });
   }
 
   U256 ginv = f_inv(gamma, FR), dinv = f_inv(delta, FR);
@@ -1201,10 +1244,25 @@ static Groth16Proof prove(const R1CS &r, const ProvingKey &pk,
 
   // H(x) = (A(x) B(x) - C(x)) / t(x) via coset FFT
   std::vector<U256> av(m, u256_zero()), bv(m, u256_zero()), cv(m, u256_zero());
-  for (size_t j = 0; j < r.A.size(); j++) {
-    av[j] = eval_row(r.A[j], w);
-    bv[j] = eval_row(r.B[j], w);
-    cv[j] = eval_row(r.C[j], w);
+  {
+    unsigned nthreads = std::thread::hardware_concurrency();
+    if (nthreads == 0) nthreads = 1;
+    std::atomic<long long> next(0);
+    const long long CHUNK = 8192;
+    long long nrows = r.rows();
+    auto worker = [&] {
+      for (long long base; (base = next.fetch_add(CHUNK)) < nrows;) {
+        long long end = base + CHUNK < nrows ? base + CHUNK : nrows;
+        for (long long j = base; j < end; j++) {
+          av[j] = r.eval(0, j, w);
+          bv[j] = r.eval(1, j, w);
+          cv[j] = r.eval(2, j, w);
+        }
+      }
+    };
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nthreads; t++) ts.emplace_back(worker);
+    for (auto &t : ts) t.join();
   }
   fr_fft(av, true);  // -> coefficients
   fr_fft(bv, true);
@@ -1413,6 +1471,71 @@ int bn254_groth16_r1cs(
     U256 cv = eval_row(r.C[i], w);
     if (!(mont_mul(av, bv, FR) == cv)) return -10;
   }
+  ProvingKey pk;
+  VerifyingKey vk;
+  setup(r, seed, pk, vk);
+  Groth16Proof pf = prove(r, pk, w, seed + 1);
+  std::vector<U256> pub(w.begin() + 1, w.begin() + 1 + r.num_public);
+  if (tamper) {
+    pub[0] = f_add(pub[0], FR.one_m, FR);
+    return verify(vk, pf, pub) ? -2 : 1;
+  }
+  return verify(vk, pf, pub) ? 0 : -1;
+}
+
+// Zero-copy variant for very large statements (the ~100M-row production
+// TP2-verifier R1CS): the CSR arrays are consumed IN PLACE (no vector<Row>
+// materialization — coefficients convert to Montgomery per use), the
+// witness-satisfaction pre-check is threaded, and everything else runs the
+// same setup/prove/verify pipeline through the R1CS view.
+int bn254_groth16_csr(
+    long long n_constraints, long long n_wires, long long n_public,
+    const long long *aptr, const int *awire, const u64 *acoef,
+    const long long *bptr, const int *bwire, const u64 *bcoef,
+    const long long *cptr, const int *cwire, const u64 *ccoef,
+    const u64 *witness, u64 seed, int tamper) {
+  bn254_init();
+  R1CS r;
+  r.num_wires = (int)n_wires;
+  r.num_public = (int)n_public;
+  r.csr_rows = n_constraints;
+  r.csrA = CSRView{aptr, awire, acoef};
+  r.csrB = CSRView{bptr, bwire, bcoef};
+  r.csrC = CSRView{cptr, cwire, ccoef};
+  std::vector<U256> w(n_wires);
+  for (long long i = 0; i < n_wires; i++) {
+    U256 v{{witness[4 * i], witness[4 * i + 1], witness[4 * i + 2],
+            witness[4 * i + 3]}};
+    w[i] = to_mont(v, FR);
+  }
+  // threaded witness sanity
+  std::atomic<long long> bad(-1);
+  {
+    unsigned nthreads = std::thread::hardware_concurrency();
+    if (nthreads == 0) nthreads = 1;
+    std::atomic<long long> next(0);
+    const long long CHUNK = 8192;
+    auto worker = [&] {
+      for (long long base;
+           (base = next.fetch_add(CHUNK)) < n_constraints && bad.load() < 0;) {
+        long long end =
+            base + CHUNK < n_constraints ? base + CHUNK : n_constraints;
+        for (long long i = base; i < end; i++) {
+          U256 av = r.eval(0, i, w);
+          U256 bv = r.eval(1, i, w);
+          U256 cv = r.eval(2, i, w);
+          if (!(mont_mul(av, bv, FR) == cv)) {
+            bad.store(i);
+            return;
+          }
+        }
+      }
+    };
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nthreads; t++) ts.emplace_back(worker);
+    for (auto &t : ts) t.join();
+  }
+  if (bad.load() >= 0) return -10;
   ProvingKey pk;
   VerifyingKey vk;
   setup(r, seed, pk, vk);

@@ -129,3 +129,48 @@ def test_tp2_verifier_r1cs_production_shape():
         f"{len(r1cs.witness)} wires (inner prove {t_prove:.0f}s, "
         f"build {t_build:.0f}s, check {t_check:.0f}s)"
     )
+
+
+@slow
+def test_tp2_verifier_groth16_production():
+    """The FULL on-chain story at the production proof shape (VERDICT r3
+    item 3): a TP2 proof at the production CircuitConfig (rate 1/8,
+    cap_height 4, 28 FRI query rounds, 16 PoW bits) -> the complete
+    in-SNARK verifier R1CS (~102M rows) -> native BN254 Groth16
+    setup/prove/verify through the zero-copy CSR intake.  Expect hours of
+    wall time; run alone on an idle box."""
+    import time
+
+    from mp2_tpu.groth16 import _run_r1cs_csr, available
+    from mp2_tpu.groth16.r1cs_builder import build_tp2_verifier_r1cs
+    from mp2_tpu.prover.config import CircuitConfig
+
+    if not available():
+        pytest.skip("native bn254 backend not built")
+
+    cfg = CircuitConfig()  # production FRI soundness
+    assert cfg.fri.num_query_rounds == 28 and cfg.fri.cap_height == 4
+
+    b = CircuitBuilder(cfg)
+    xs = b.add_inputs(2)
+    h = b.hash_no_pad(xs)
+    b.register_public_inputs(h + xs)
+    data = b.build()
+    vals = [5, 7]
+    w = data.generate_witness(dict(zip(xs, vals)))
+    pis = list(p2h.hash_no_pad(vals)) + vals
+    proof = prove(data, w, pis)
+    assert verify(data, proof)
+
+    t0 = time.perf_counter()
+    r1cs, _ = build_tp2_verifier_r1cs(data, proof)
+    t_build = time.perf_counter() - t0
+    n_rows = len(r1cs.rows)
+    t0 = time.perf_counter()
+    rc = _run_r1cs_csr(r1cs, 42, False)
+    t_g16 = time.perf_counter() - t0
+    assert rc == 0, f"groth16 csr rc={rc}"
+    print(
+        f"PRODUCTION Groth16 wrap: {n_rows} rows, R1CS build {t_build:.0f}s, "
+        f"setup+prove+verify {t_g16:.0f}s"
+    )

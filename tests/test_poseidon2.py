@@ -2,6 +2,7 @@
 
 import random
 
+import pytest
 import numpy as np
 
 from mp2_tpu.field import goldilocks as gl
@@ -89,3 +90,51 @@ def test_map_to_curve_point():
     # deterministic
     assert p2h.map_to_curve_point([1, 2, 3, 4]) == pt
     assert p2h.map_to_curve_point([1, 2, 3, 5]) != pt
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("MP2_SLOW"),
+    reason="set MP2_SLOW=1 for prove-heavy tests",
+)
+def test_pluggable_tables_full_pipeline():
+    """The 'tables are pluggable' claim (BASELINE.md): swapping in a
+    SECOND deterministic Poseidon2 table set (MP2_P2_DOMAIN=v2-test) and
+    re-running params build -> prove -> host-verify works end-to-end, and
+    produces a different transcript — evidencing that dropping in the
+    canonical poseidon2_plonky2 tables later is a constants-only change
+    (every consumer reads through hash/constants.load_table)."""
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "from mp2_tpu.circuit.builder import CircuitBuilder\n"
+        "from mp2_tpu.hash import poseidon2_host as p2h\n"
+        "from mp2_tpu.prover.config import test_config\n"
+        "from mp2_tpu.prover.prove import prove\n"
+        "from mp2_tpu.prover.verify import verify\n"
+        "b = CircuitBuilder(test_config())\n"
+        "xs = b.add_inputs(2)\n"
+        "h = b.hash_no_pad(xs)\n"
+        "b.register_public_inputs(h)\n"
+        "data = b.build()\n"
+        "vals = [5, 7]\n"
+        "w = data.generate_witness(dict(zip(xs, vals)))\n"
+        "pis = list(p2h.hash_no_pad(vals))\n"
+        "proof = prove(data, w, pis)\n"
+        "assert verify(data, proof)\n"
+        "print('HASH', pis[0])\n"
+    )
+    outs = {}
+    for domain in ("v1", "v2-test"):
+        env = dict(os.environ, MP2_P2_DOMAIN=domain, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "-c", prog], env=env,
+            capture_output=True, text=True, timeout=2400,
+        )
+        assert r.returncode == 0, f"{domain} pipeline failed:\n{r.stderr[-2000:]}"
+        outs[domain] = [
+            line for line in r.stdout.splitlines() if line.startswith("HASH")
+        ][0]
+    # different table sets => different sponge outputs (and both verified)
+    assert outs["v1"] != outs["v2-test"]
