@@ -170,9 +170,16 @@ def _proofs_stage():
     print(json.dumps(out), flush=True)
 
 
+def _mark(stage):
+    print(f"bench: [{time.time()-_T0:7.1f}s] {stage}", file=sys.stderr)
+    sys.stderr.flush()
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    _mark("init device")
     dev = _init_device(int(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
+    _mark("device ready")
 
     import jax
     import jax.numpy as jnp
@@ -188,16 +195,20 @@ def main():
 
     x = GF(jnp.asarray(rng.integers(0, gl.P, size=(n,), dtype=np.uint64)))
     ntt_fn = jax.jit(lambda v: ntt.ntt(v))
-    ntt_s = _bench(ntt_fn, (x,), iters=3)
+    _mark("ntt compile+bench")
+    ntt_s = _bench(ntt_fn, (x,), iters=8)
     ntt_ms = ntt_s * 1e3
+    _mark("ntt done")
 
     states = GF(
         jnp.asarray(
             rng.integers(0, gl.P, size=(POSEIDON_BATCH, 12), dtype=np.uint64)
         )
     )
-    p2_s = _bench(p2.permute, (states,), iters=3)
+    _mark("poseidon2 compile+bench")
+    p2_s = _bench(p2.permute, (states,), iters=8)
     perms_per_s = POSEIDON_BATCH / p2_s
+    _mark("poseidon2 done")
 
     # calibrate the fixed per-dispatch cost of the axon tunnel (a trivial
     # jitted op): every number above carries this constant, which a local

@@ -127,7 +127,10 @@ def test_pluggable_tables_full_pipeline():
     )
     outs = {}
     for domain in ("v1", "v2-test"):
-        env = dict(os.environ, MP2_P2_DOMAIN=domain, JAX_PLATFORMS="cpu")
+        env = dict(
+            os.environ, MP2_P2_DOMAIN=domain, JAX_PLATFORMS="cpu",
+            JAX_COMPILATION_CACHE_DIR="/root/repo/.jax_cache",
+        )
         r = subprocess.run(
             [sys.executable, "-c", prog], env=env,
             capture_output=True, text=True, timeout=2400,
