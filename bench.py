@@ -38,7 +38,7 @@ os.environ.setdefault(
 LOG_N = int(os.environ.get("BENCH_LOG_N", "22"))
 POSEIDON_BATCH = int(os.environ.get("BENCH_P2_BATCH", str(1 << 18)))
 TARGET_NTT_MS = 10.0
-TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET", "900"))
+TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET", "1500"))
 _T0 = time.time()
 
 # best-known result; the watchdog prints this if anything wedges
@@ -230,7 +230,7 @@ def main():
 
     if os.environ.get("BENCH_PROOFS", "1") != "0":
         budget = min(_remaining() - 30.0,
-                     float(os.environ.get("BENCH_PROOF_TIMEOUT", "600")))
+                     float(os.environ.get("BENCH_PROOF_TIMEOUT", "900")))
         if budget < 60:
             _RESULT["extra"]["proofs"] = "skipped: insufficient budget"
         else:
