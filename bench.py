@@ -229,8 +229,8 @@ def main():
     _emit()  # PRIMARY line: on the wire before any proof-stage compile
 
     if os.environ.get("BENCH_PROOFS", "1") != "0":
-        budget = min(_remaining() - 30.0,
-                     float(os.environ.get("BENCH_PROOF_TIMEOUT", "900")))
+        budget = min(_remaining() - 60.0,
+                     float(os.environ.get("BENCH_PROOF_TIMEOUT", "1200")))
         if budget < 60:
             _RESULT["extra"]["proofs"] = "skipped: insufficient budget"
         else:

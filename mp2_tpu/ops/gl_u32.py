@@ -172,11 +172,48 @@ def canon_lazy(lo, hi):
     return canon(lo, hi)
 
 
+def sq_lazy(alo, ahi):
+    """a * a mod p for ANY u64 input; result non-canonical in [0, 2^64).
+
+    3 wide 32x32 products instead of mul_lazy's 4: the cross term lo*hi
+    appears twice, so it is computed once and doubled (its 2^97-bound top
+    bit lands in the 2^96 coefficient r3)."""
+    ll_lo, ll_hi = mul32_wide(alo, alo)
+    lh_lo, lh_hi = mul32_wide(alo, ahi)
+    hh_lo, hh_hi = mul32_wide(ahi, ahi)
+    # doubled cross term, shifted to the 2^32 position: bits 32..97
+    m_lo = lh_lo << 1
+    m_hi = (lh_hi << 1) | (lh_lo >> 31)
+    m_ov = lh_hi >> 31  # 2^96 contribution of the doubling
+    r0 = ll_lo
+    r1, c0 = addc(ll_hi, m_lo)
+    r2, c1 = addc(hh_lo, m_hi)
+    r2, c2 = addc(r2, c0)
+    r3 = hh_hi + m_ov + c1 + c2
+    # identical reduction to mul_lazy: 2^64 == EPS, 2^96 == -1
+    t_lo = jnp.uint32(0) - r2
+    t_hi = r2 - (r2 != 0).astype(_u32)
+    lo, c5 = addc(r0, t_lo)
+    h1, c6 = addc(r1, t_hi)
+    h2, c7 = addc(h1, c5)
+    carry = c6 | c7
+    lo, c8 = addc(lo, carry * EPS)
+    h3, c9 = addc(h2, c8)
+    lo, c10 = addc(lo, c9 * EPS)
+    hi = h3 + c10
+    lo2, b0 = subb(lo, r3)
+    h4, b1 = subb(hi, b0)
+    lo2, b2 = subb(lo2, b1 * EPS)
+    h5, b3 = subb(h4, b2)
+    lo2, b4 = subb(lo2, b3 * EPS)
+    return lo2, h5 - b4
+
+
 def exp7_lazy(lo, hi):
     """x^7 mod p with non-canonical intermediates and result."""
-    l2, h2 = mul_lazy(lo, hi, lo, hi)
+    l2, h2 = sq_lazy(lo, hi)
     l3, h3 = mul_lazy(l2, h2, lo, hi)
-    l4, h4 = mul_lazy(l2, h2, l2, h2)
+    l4, h4 = sq_lazy(l2, h2)
     return mul_lazy(l4, h4, l3, h3)
 
 

@@ -71,6 +71,26 @@ def test_lazy_all_edge_pairs():
         assert np.array_equal(got.astype(object), ref), op
 
 
+def test_sq_lazy_congruent():
+    """sq_lazy (3-wide-mul squaring) == mul_lazy(x, x) semantics over the
+    full u64 range + all edges."""
+    rng = np.random.default_rng(13)
+    a = _sample(rng, 8192)
+    lo, hi = K.sq_lazy(*_pairs(a))
+    got = _u64(lo, hi) % np.uint64(P)
+    ref = (a.astype(object) * a.astype(object)) % P
+    assert np.array_equal(got.astype(object), ref)
+
+
+def test_exp7_lazy_congruent():
+    rng = np.random.default_rng(17)
+    a = _sample(rng, 4096)
+    lo, hi = K.exp7_lazy(*_pairs(a))
+    got = _u64(lo, hi) % np.uint64(P)
+    ref = np.array([pow(int(v) % P, 7, P) for v in a], dtype=object)
+    assert np.array_equal(got.astype(object), ref)
+
+
 def test_canon_lazy():
     rng = np.random.default_rng(3)
     a = _sample(rng, 4096)
