@@ -83,9 +83,10 @@ def _prove_rows_tree(vdb, rows_db, cells_envs):
     return prove(rows_db.root())
 
 
-@slow
-def test_real_full_stack_db_to_revelation():
-    cfg = test_config()
+def _run_full_stack(cfg):
+    """Shared pipeline: committed DB (cells->rows->block->IVC) + tree-bound
+    query stack; returns (qc, revelation envelope, revelation PIs, block
+    payload)."""
     vdb = C.VerifiableDbCircuits(cfg)
 
     entries = {7: 10, 8: 99}
@@ -166,6 +167,12 @@ def test_real_full_stack_db_to_revelation():
         pis, COLUMN_IDS, rows, ph, bounds, ivc_env=ivc_env, bindings=bindings
     )
     assert qc.verify(env)
+    return qc, env, reveal, blk
+
+
+@slow
+def test_real_full_stack_db_to_revelation():
+    qc, env, reveal, blk = _run_full_stack(test_config())
     # the revelation exposes the IVC's block-tree root
     assert list(reveal[8:12]) == [int(x) for x in blk.hash]
     # SUM(value) = 109, COUNT = 2
@@ -174,3 +181,85 @@ def test_real_full_stack_db_to_revelation():
         got = (got << 32) | l
     assert got == 109
     assert reveal[12 + 16] == 2
+
+
+@slow
+def test_real_revelation_groth16_wrap():
+    """The on-chain story over the REAL revelation proof (not a toy inner):
+    the full DB+query pipeline's revelation envelope -> complete in-SNARK
+    TP2 verifier R1CS against the revelation wrap circuit's fixed
+    commitment, digest-bound to its VK -> BN254 Groth16 setup/prove/verify
+    (reference: verifiable-db/src/api.rs:150-215 WrapCircuitParams +
+    groth16-framework/src/lib.rs:70-100 + gnark-utils/lib/lib.go).
+
+    Runs at the light FRI shape (rate 3, cap 1, 2 query rounds — same
+    shape as tests/test_groth16_verifier.py's inner fixture); the wrapped
+    revelation proof still yields a ~30.6M-row R1CS (measured: build 197s,
+    check 75s).  The BN254 Groth16 setup/prove/verify over it is >1h, so
+    that half runs only under MP2_SLOW_G16=1 (the Groth16 machinery itself
+    is already covered at 14.4M rows by test_tp2_verifier_groth16_roundtrip
+    and at 293k-row CSR parity by the native tests); the production-shape
+    verifier statement is exercised separately by
+    test_tp2_verifier_groth16_production."""
+    from mp2_tpu.groth16 import _run_r1cs_csr, available
+    from mp2_tpu.groth16.r1cs_builder import build_tp2_verifier_r1cs
+    from mp2_tpu.prover.fri import FriConfig
+
+    cfg = test_config(
+        fri=FriConfig(
+            rate_bits=3, cap_height=1, proof_of_work_bits=4,
+            num_query_rounds=2,
+        ),
+    )
+    qc, env, reveal, blk = _run_full_stack(cfg)
+    assert list(reveal[8:12]) == [int(x) for x in blk.hash]
+
+    m = qc.revelation.members["revelation"]
+    r1cs, digest = build_tp2_verifier_r1cs(m.wrap.data, env.proof)
+    assert r1cs.check()
+    # the in-SNARK recomputed circuit digest IS the revelation wrap VK
+    assert digest == list(m.wrap.data.circuit_digest)
+    # Groth16 publics = the revelation proof's public inputs, in order
+    P = (1 << 64) - (1 << 32) + 1
+    assert r1cs.witness[1 : 1 + len(env.proof.public_inputs)] == [
+        int(v) % P for v in env.proof.public_inputs
+    ]
+    print(
+        f"REAL revelation wrap statement: {len(r1cs.rows)} rows / "
+        f"{len(r1cs.witness)} wires, digest-bound to the revelation VK"
+    )
+    if os.environ.get("MP2_SLOW_G16"):
+        assert available(), "native bn254 backend not built"
+        assert _run_r1cs_csr(r1cs, 42, False) == 0
+        print("REAL revelation Groth16 setup/prove/verify OK")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MP2_SLOW_PROD"),
+    reason="set MP2_SLOW_PROD=1: multi-hour production-config run",
+)
+def test_real_revelation_wrap_statement_production_config():
+    """The same real-revelation wrap statement at the PRODUCTION
+    CircuitConfig (rate 1/8, cap 4, 28 FRI query rounds, 16 PoW bits):
+    full pipeline -> revelation envelope -> in-SNARK verifier R1CS built
+    (stamped Poseidon2 template) + satisfaction-checked + digest-bound.
+    The Groth16 setup/prove/verify over a production-shape statement is
+    exercised separately (test_tp2_verifier_groth16_production); running
+    both chained is a runtime-budget matter (multiple hours each)."""
+    from mp2_tpu.groth16.r1cs_builder import build_tp2_verifier_r1cs
+    from mp2_tpu.prover.config import CircuitConfig
+
+    cfg = CircuitConfig()
+    assert cfg.fri.num_query_rounds == 28 and cfg.fri.cap_height == 4
+    qc, env, reveal, blk = _run_full_stack(cfg)
+    assert list(reveal[8:12]) == [int(x) for x in blk.hash]
+
+    m = qc.revelation.members["revelation"]
+    r1cs, digest = build_tp2_verifier_r1cs(m.wrap.data, env.proof)
+    assert r1cs.check()
+    assert digest == list(m.wrap.data.circuit_digest)
+    print(
+        f"PRODUCTION revelation wrap statement: {len(r1cs.rows)} rows / "
+        f"{len(r1cs.witness)} wires over the 2^{m.wrap.data.log_n}-row "
+        "wrapped revelation proof"
+    )
