@@ -64,6 +64,7 @@ def _load():
         ]
         lib.bn254_groth16_r1cs.restype = ctypes.c_int
         lib.bn254_groth16_csr.restype = ctypes.c_int
+        lib.bn254_r1cs_check_csr.restype = ctypes.c_longlong
         if lib.bn254_selftest() != 0:
             return None
         _LIB = lib
@@ -163,6 +164,34 @@ def _run_r1cs_csr(r1cs, seed: int, tamper: bool) -> int:
         ptr(cp, LL), ptr(cw, II), ptr(cc, UU),
         ptr(wit, UU), ctypes.c_uint64(seed), ctypes.c_int(1 if tamper else 0),
     )
+
+
+def _check_csr_native(r1cs):
+    """Threaded native satisfaction check for a SPILL-mode R1CS (rows
+    already packed to disk-backed CSR fragments).  Returns True/False, or
+    None when the native backend is unavailable (caller falls back to the
+    Python row replay)."""
+    lib = _load()
+    if lib is None:
+        return None
+    (ap, aw, ac), (bp, bw, bc), (cp, cw, cc) = r1cs.rows.finalize()
+    wit = r1cs.pack_witness()
+    LL = ctypes.POINTER(ctypes.c_longlong)
+    II = ctypes.POINTER(ctypes.c_int)
+    UU = ctypes.POINTER(ctypes.c_uint64)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(t)
+
+    bad = lib.bn254_r1cs_check_csr(
+        ctypes.c_longlong(len(r1cs.rows)),
+        ctypes.c_longlong(len(r1cs.witness)),
+        ptr(ap, LL), ptr(aw, II), ptr(ac, UU),
+        ptr(bp, LL), ptr(bw, II), ptr(bc, UU),
+        ptr(cp, LL), ptr(cw, II), ptr(cc, UU),
+        ptr(wit, UU),
+    )
+    return bad < 0
 
 
 def wrap_revelation_poseidon(

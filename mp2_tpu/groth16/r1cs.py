@@ -97,11 +97,189 @@ def _lc_comb(pairs: Sequence[Tuple[int, LC]], const: int = 0) -> LC:
     return LC(terms, c_acc, v_acc)
 
 
+class SpillRows:
+    """Disk-backed streaming row store for ~100M+-row statements (NEXT.md
+    round-3 item 1): rows are packed into CSR fragments (per-row entry
+    counts u32, wire ids i32, coefficient limbs u64x4) as they arrive and
+    spilled to temp files every CHUNK rows, so the Python dict
+    representation never accumulates — at the production wrapped-revelation
+    shape the in-memory rows alone exceeded 130 GB RSS while the packed
+    CSR is a few tens of GB of (evictable) page cache.
+
+    Duck-types the list surface R1CS uses (`append`, `len`, iteration) and
+    adds `finalize()` -> three (ptr, wire, coeff) memmap triples in exactly
+    the layout `bn254_groth16_csr` consumes in place.  Iteration (for
+    `check()`) replays spilled fragments back into dict rows.  The temp
+    directory is removed when the object is collected."""
+
+    CHUNK = 1 << 19  # rows per spill fragment (~tens of MB packed)
+
+    def __init__(self, spill_dir: Optional[str] = None):
+        import tempfile
+
+        self.tmpdir = tempfile.mkdtemp(prefix="mp2_r1cs_", dir=spill_dir)
+        self._fh = []  # per matrix: (counts, wires, coeffs) file handles
+        for k in range(3):
+            base = f"{self.tmpdir}/m{k}"
+            self._fh.append((
+                open(base + ".cnt", "wb"),
+                open(base + ".wir", "wb"),
+                open(base + ".coe", "wb"),
+            ))
+        self._buf: List[Tuple[Dict, Dict, Dict]] = []
+        self._n_spilled = 0
+        self._nnz = [0, 0, 0]
+        self._final = None
+
+    def append(self, row: Tuple[Dict, Dict, Dict]) -> None:
+        assert self._final is None, "SpillRows already finalized"
+        self._buf.append(row)
+        if len(self._buf) >= self.CHUNK:
+            self._flush()
+
+    def __len__(self) -> int:
+        return self._n_spilled + len(self._buf)
+
+    def _flush(self) -> None:
+        import numpy as np
+
+        buf = self._buf
+        if not buf:
+            return
+        MASK = 0xFFFFFFFFFFFFFFFF
+        for k in range(3):
+            cnt = np.empty(len(buf), dtype=np.uint32)
+            nnz = 0
+            for i, row in enumerate(buf):
+                cnt[i] = len(row[k])
+                nnz += cnt[i]
+            wires = np.empty(nnz, dtype=np.int32)
+            coeffs = np.empty((nnz, 4), dtype=np.uint64)
+            pos = 0
+            for row in buf:
+                for wi, co in sorted(row[k].items()):
+                    wires[pos] = wi
+                    c = coeffs[pos]
+                    c[0] = co & MASK
+                    c[1] = (co >> 64) & MASK
+                    c[2] = (co >> 128) & MASK
+                    c[3] = (co >> 192) & MASK
+                    pos += 1
+            fc, fw, fo = self._fh[k]
+            cnt.tofile(fc)
+            wires.tofile(fw)
+            coeffs.tofile(fo)
+            self._nnz[k] += nnz
+        self._n_spilled += len(buf)
+        self._buf = []
+
+    def __iter__(self):
+        """Replay rows (spilled fragments first, then the live buffer) as
+        (A, B, C) dict triples — the `check()` contract."""
+        import numpy as np
+
+        self._sync()
+        n = self._n_spilled
+        mats = []
+        for k in range(3):
+            base = f"{self.tmpdir}/m{k}"
+            cnt = np.fromfile(base + ".cnt", dtype=np.uint32, count=n)
+            mats.append((cnt, open(base + ".wir", "rb"),
+                         open(base + ".coe", "rb")))
+        try:
+            for i in range(n):
+                row = []
+                for cnt, fw, fo in mats:
+                    m = int(cnt[i])
+                    wires = np.fromfile(fw, dtype=np.int32, count=m)
+                    coeffs = np.fromfile(fo, dtype=np.uint64, count=4 * m)
+                    d = {}
+                    for j in range(m):
+                        co = (int(coeffs[4 * j]) | int(coeffs[4 * j + 1]) << 64
+                              | int(coeffs[4 * j + 2]) << 128
+                              | int(coeffs[4 * j + 3]) << 192)
+                        d[int(wires[j])] = co
+                    row.append(d)
+                yield tuple(row)
+        finally:
+            for _, fw, fo in mats:
+                fw.close()
+                fo.close()
+        yield from self._buf
+
+    def _sync(self) -> None:
+        for fh in self._fh:
+            for f in fh:
+                f.flush()
+
+    def finalize(self):
+        """Spill any pending rows, convert per-row counts to cumulative
+        pointers (int64 memmap), and return the three (ptr, wire, coeff)
+        triples as read-only memmaps over the spill files — zero-copy into
+        `bn254_groth16_csr`.  Idempotent."""
+        import numpy as np
+
+        if self._final is not None:
+            return self._final
+        self._flush()
+        for fh in self._fh:
+            for f in fh:
+                f.close()
+        n = self._n_spilled
+        out = []
+        for k in range(3):
+            base = f"{self.tmpdir}/m{k}"
+            ptr = np.memmap(base + ".ptr", dtype=np.int64, mode="w+",
+                            shape=(n + 1,))
+            ptr[0] = 0
+            total = 0
+            STEP = 1 << 22
+            with open(base + ".cnt", "rb") as fc:
+                off = 0
+                while off < n:
+                    cnt = np.fromfile(fc, dtype=np.uint32,
+                                      count=min(STEP, n - off))
+                    np.cumsum(cnt, dtype=np.int64,
+                              out=ptr[off + 1 : off + 1 + len(cnt)])
+                    ptr[off + 1 : off + 1 + len(cnt)] += total
+                    total += int(cnt.sum(dtype=np.int64))
+                    off += len(cnt)
+            assert total == self._nnz[k]
+            wires = np.memmap(base + ".wir", dtype=np.int32, mode="r",
+                              shape=(total,)) if total else np.empty(
+                                  0, dtype=np.int32)
+            coeffs = np.memmap(base + ".coe", dtype=np.uint64, mode="r",
+                               shape=(total, 4)) if total else np.empty(
+                                   (0, 4), dtype=np.uint64)
+            out.append((ptr, wires, coeffs))
+        self._final = tuple(out)
+        return self._final
+
+    def __del__(self):
+        import shutil
+
+        try:
+            for fh in self._fh:
+                for f in fh:
+                    if not f.closed:
+                        f.close()
+            shutil.rmtree(self.tmpdir, ignore_errors=True)
+        except Exception:
+            pass
+
+
 class R1CS:
-    def __init__(self):
+    def __init__(self, spill_dir: Optional[str] = None, spill: bool = False):
+        """spill=True (or a spill_dir) streams rows to disk-backed CSR
+        fragments instead of accumulating Python dicts — required for the
+        production-shape wrapped-revelation statement (>130 GB RSS
+        otherwise)."""
         self.witness: List[int] = [1]  # wire 0 = constant 1
         self.num_public = 0  # wires 1..num_public are public
-        self.rows: List[Tuple[Dict, Dict, Dict]] = []  # (A, B, C) sparse
+        if spill or spill_dir is not None:
+            self.rows = SpillRows(spill_dir)
+        else:
+            self.rows: List[Tuple[Dict, Dict, Dict]] = []  # (A, B, C) sparse
 
     # ------------------------------------------------------------ wires
     def new_wire(self, value: int) -> int:
@@ -373,6 +551,10 @@ class R1CS:
 
     # ------------------------------------------------------------- export
     def check(self) -> bool:
+        if isinstance(self.rows, SpillRows):
+            ok = self._check_native()
+            if ok is not None:
+                return ok
         w = self.witness
         for a, b, c in self.rows:
             av = sum(co * w[wi] for wi, co in a.items()) % R_FR
@@ -382,14 +564,43 @@ class R1CS:
                 return False
         return True
 
+    def _check_native(self) -> Optional[bool]:
+        """Threaded native satisfaction check over the finalized spill
+        memmaps (the Python per-row replay at 100M rows costs hours);
+        None when the native backend is unavailable."""
+        from mp2_tpu.groth16 import _check_csr_native
+
+        return _check_csr_native(self)
+
+    def pack_witness(self):
+        """Witness as (n, 4) canonical u64 limbs (native intake layout)."""
+        import numpy as np
+
+        MASK = 0xFFFFFFFFFFFFFFFF
+        wl = np.empty((len(self.witness), 4), dtype=np.uint64)
+        for i, v in enumerate(self.witness):
+            wl[i, 0] = v & MASK
+            wl[i, 1] = (v >> 64) & MASK
+            wl[i, 2] = (v >> 128) & MASK
+            wl[i, 3] = (v >> 192) & MASK
+        return wl
+
     def to_arrays_consuming(self):
         """Memory-frugal variant of to_arrays for ~100M-row statements:
         one pass over the rows, emitting all three CSR matrices into
         preallocated numpy buffers and FREEING each Python row as it is
         consumed (the Python dict representation is several times larger
         than the packed arrays).  The R1CS rows are GONE afterwards —
-        only the arrays remain.  Returns the same tuple as to_arrays."""
+        only the arrays remain.  Returns the same tuple as to_arrays.
+
+        In spill mode the rows are already packed on disk: finalize the
+        fragments and return memmap-backed triples (RSS stays bounded by
+        the witness limbs)."""
         import numpy as np
+
+        if isinstance(self.rows, SpillRows):
+            a, b, c = self.rows.finalize()
+            return a, b, c, self.pack_witness()
 
         n = len(self.rows)
         nnz = [0, 0, 0]
@@ -417,12 +628,7 @@ class R1CS:
                 ptrs[k][i + 1] = pk
             self.rows[i] = None  # free as we go
         self.rows.clear()
-        wl = np.empty((len(self.witness), 4), dtype=np.uint64)
-        for i, v in enumerate(self.witness):
-            wl[i, 0] = v & MASK
-            wl[i, 1] = (v >> 64) & MASK
-            wl[i, 2] = (v >> 128) & MASK
-            wl[i, 3] = (v >> 192) & MASK
+        wl = self.pack_witness()
         return (
             (ptrs[0], wires[0], coeffs[0]),
             (ptrs[1], wires[1], coeffs[1]),

@@ -1548,6 +1548,58 @@ int bn254_groth16_csr(
   return verify(vk, pf, pub) ? 0 : -1;
 }
 
+// Threaded witness-satisfaction check over CSR views (no setup/prove):
+// backs R1CS.check() for spill-mode statements where the Python per-row
+// replay would cost hours.  Returns -1 when every row is satisfied, else
+// the index of the first detected failing row.
+long long bn254_r1cs_check_csr(
+    long long n_constraints, long long n_wires,
+    const long long *aptr, const int *awire, const u64 *acoef,
+    const long long *bptr, const int *bwire, const u64 *bcoef,
+    const long long *cptr, const int *cwire, const u64 *ccoef,
+    const u64 *witness) {
+  bn254_init();
+  R1CS r;
+  r.num_wires = (int)n_wires;
+  r.csr_rows = n_constraints;
+  r.csrA = CSRView{aptr, awire, acoef};
+  r.csrB = CSRView{bptr, bwire, bcoef};
+  r.csrC = CSRView{cptr, cwire, ccoef};
+  std::vector<U256> w(n_wires);
+  for (long long i = 0; i < n_wires; i++) {
+    U256 v{{witness[4 * i], witness[4 * i + 1], witness[4 * i + 2],
+            witness[4 * i + 3]}};
+    w[i] = to_mont(v, FR);
+  }
+  std::atomic<long long> bad(-1);
+  {
+    unsigned nthreads = std::thread::hardware_concurrency();
+    if (nthreads == 0) nthreads = 1;
+    std::atomic<long long> next(0);
+    const long long CHUNK = 8192;
+    auto worker = [&] {
+      for (long long base;
+           (base = next.fetch_add(CHUNK)) < n_constraints && bad.load() < 0;) {
+        long long end =
+            base + CHUNK < n_constraints ? base + CHUNK : n_constraints;
+        for (long long i = base; i < end; i++) {
+          U256 av = r.eval(0, i, w);
+          U256 bv = r.eval(1, i, w);
+          U256 cv = r.eval(2, i, w);
+          if (!(mont_mul(av, bv, FR) == cv)) {
+            bad.store(i);
+            return;
+          }
+        }
+      }
+    };
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nthreads; t++) ts.emplace_back(worker);
+    for (auto &t : ts) t.join();
+  }
+  return bad.load();
+}
+
 // Variant of bn254_groth16_r1cs exporting the verifying key and proof in
 // canonical (non-Montgomery) affine coordinates for Solidity verifier
 // generation:
