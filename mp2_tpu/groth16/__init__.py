@@ -174,7 +174,11 @@ def _check_csr_native(r1cs):
     lib = _load()
     if lib is None:
         return None
-    (ap, aw, ac), (bp, bw, bc), (cp, cw, cc) = r1cs.rows.finalize()
+    # snapshot (not finalize): check() must not freeze the store — further
+    # appends after a mid-build check stay legal (advisor r3, medium).
+    rows = r1cs.rows
+    views = rows._final if rows._final is not None else rows.snapshot()
+    (ap, aw, ac), (bp, bw, bc), (cp, cw, cc) = views
     wit = r1cs.pack_witness()
     LL = ctypes.POINTER(ctypes.c_longlong)
     II = ctypes.POINTER(ctypes.c_int)

@@ -149,10 +149,11 @@ class SpillRows:
         MASK = 0xFFFFFFFFFFFFFFFF
         for k in range(3):
             cnt = np.empty(len(buf), dtype=np.uint32)
-            nnz = 0
             for i, row in enumerate(buf):
                 cnt[i] = len(row[k])
-                nnz += cnt[i]
+            # accumulate in int64/Python int: uint32 totals wrap past 2^32
+            # nonzeros, exactly the 100M+-row scale this class targets
+            nnz = int(cnt.sum(dtype=np.int64))
             wires = np.empty(nnz, dtype=np.int32)
             coeffs = np.empty((nnz, 4), dtype=np.uint64)
             pos = 0
@@ -210,21 +211,40 @@ class SpillRows:
     def _sync(self) -> None:
         for fh in self._fh:
             for f in fh:
-                f.flush()
+                if not f.closed:
+                    f.flush()
+
+    def snapshot(self):
+        """Flush pending rows and return (ptr, wire, coeff) memmap triples
+        over everything appended SO FAR, WITHOUT freezing the store: write
+        handles stay open and further append()s are legal.  This is what
+        check() uses, so a build-check-build-more workflow behaves the same
+        in spill and non-spill mode (advisor r3, medium)."""
+        assert self._final is None, "SpillRows already finalized"
+        self._flush()
+        self._sync()
+        return self._views()
 
     def finalize(self):
         """Spill any pending rows, convert per-row counts to cumulative
         pointers (int64 memmap), and return the three (ptr, wire, coeff)
         triples as read-only memmaps over the spill files — zero-copy into
-        `bn254_groth16_csr`.  Idempotent."""
-        import numpy as np
-
+        `bn254_groth16_csr`.  Closes the write handles: the store is
+        frozen afterwards (append() asserts).  Idempotent."""
         if self._final is not None:
             return self._final
         self._flush()
         for fh in self._fh:
             for f in fh:
                 f.close()
+        self._final = self._views()
+        return self._final
+
+    def _views(self):
+        """(ptr, wire, coeff) triples over the spilled fragments (counts
+        converted to cumulative int64 pointers on the side)."""
+        import numpy as np
+
         n = self._n_spilled
         out = []
         for k in range(3):
@@ -252,13 +272,14 @@ class SpillRows:
                                shape=(total, 4)) if total else np.empty(
                                    (0, 4), dtype=np.uint64)
             out.append((ptr, wires, coeffs))
-        self._final = tuple(out)
-        return self._final
+        return tuple(out)
 
     def __del__(self):
-        import shutil
-
+        # tolerate interpreter teardown, where module globals (import
+        # machinery included) may already be None
         try:
+            import shutil
+
             for fh in self._fh:
                 for f in fh:
                     if not f.closed:
@@ -268,14 +289,29 @@ class SpillRows:
             pass
 
 
+class _Witness(list):
+    """Witness vector that flags in-place mutation (tamper-style
+    `witness[w] = v`), so the pack_witness cache can't go stale: appends
+    are covered by the length check, everything else sets `dirty`."""
+
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.dirty = False
+
+    def __setitem__(self, i, v):
+        self.dirty = True
+        super().__setitem__(i, v)
+
+
 class R1CS:
     def __init__(self, spill_dir: Optional[str] = None, spill: bool = False):
         """spill=True (or a spill_dir) streams rows to disk-backed CSR
         fragments instead of accumulating Python dicts — required for the
         production-shape wrapped-revelation statement (>130 GB RSS
         otherwise)."""
-        self.witness: List[int] = [1]  # wire 0 = constant 1
+        self.witness: List[int] = _Witness([1])  # wire 0 = constant 1
         self.num_public = 0  # wires 1..num_public are public
+        self._packed_wit = None  # pack_witness cache (append-only witness)
         if spill or spill_dir is not None:
             self.rows = SpillRows(spill_dir)
         else:
@@ -573,16 +609,33 @@ class R1CS:
         return _check_csr_native(self)
 
     def pack_witness(self):
-        """Witness as (n, 4) canonical u64 limbs (native intake layout)."""
+        """Witness as (n, 4) canonical u64 limbs (native intake layout).
+
+        Cached per witness length (the witness is append-only; values are
+        never mutated in place), so check() followed by
+        to_arrays_consuming() packs the 100M+-entry vector once, not twice
+        (advisor r3).  The overwhelming majority of wires are bits or
+        64-bit-reduced values, so the small-value fast path skips three
+        shifts+masks per entry."""
         import numpy as np
 
+        n = len(self.witness)
+        if (self._packed_wit is not None and len(self._packed_wit) == n
+                and not getattr(self.witness, "dirty", True)):
+            return self._packed_wit
+        if isinstance(self.witness, _Witness):
+            self.witness.dirty = False
         MASK = 0xFFFFFFFFFFFFFFFF
-        wl = np.empty((len(self.witness), 4), dtype=np.uint64)
+        wl = np.zeros((n, 4), dtype=np.uint64)
         for i, v in enumerate(self.witness):
-            wl[i, 0] = v & MASK
-            wl[i, 1] = (v >> 64) & MASK
-            wl[i, 2] = (v >> 128) & MASK
-            wl[i, 3] = (v >> 192) & MASK
+            if v < 0x10000000000000000:
+                wl[i, 0] = v
+            else:
+                wl[i, 0] = v & MASK
+                wl[i, 1] = (v >> 64) & MASK
+                wl[i, 2] = (v >> 128) & MASK
+                wl[i, 3] = (v >> 192) & MASK
+        self._packed_wit = wl
         return wl
 
     def to_arrays_consuming(self):

@@ -44,8 +44,9 @@ class R1CSBuilder:
     loaded (`load_inputs`) before the verifier gadget runs.
     """
 
-    def __init__(self, public_values: Sequence[int] = ()):
-        self.r1cs = R1CS()
+    def __init__(self, public_values: Sequence[int] = (),
+                 spill: bool = False, spill_dir: Optional[str] = None):
+        self.r1cs = R1CS(spill_dir=spill_dir, spill=spill)
         self._lc: List[Optional[LC]] = []
         self._bound: List[int] = []
         self._zero: Optional[int] = None
@@ -249,7 +250,8 @@ class R1CSBuilder:
             state = self.poseidon2_permute(state)
 
 
-def build_tp2_verifier_r1cs(inner_data, proof, num_public_inputs=None):
+def build_tp2_verifier_r1cs(inner_data, proof, num_public_inputs=None,
+                            spill=False, spill_dir=None):
     """The full Groth16 wrap statement (gnark-plonky2-verifier role):
     public inputs = the TP2 proof's public inputs; the R1CS contains the
     COMPLETE verifier for `proof` against `inner_data`'s fixed commitment
@@ -268,7 +270,8 @@ def build_tp2_verifier_r1cs(inner_data, proof, num_public_inputs=None):
     )
 
     common = CommonData.of(inner_data, num_public_inputs)
-    rb = R1CSBuilder(public_values=list(proof.public_inputs))
+    rb = R1CSBuilder(public_values=list(proof.public_inputs),
+                     spill=spill, spill_dir=spill_dir)
     pt = add_virtual_proof(rb, common)
     inputs: Dict[int, int] = {}
     set_proof_witness(inputs, pt, proof)

@@ -116,6 +116,80 @@ def test_r1cs_reduce_canonicity():
         assert r.check()
 
 
+def _build_small_statement(spill):
+    """Same gadget sequence in spill / in-memory mode (mid-size: crosses
+    at least one spill fragment boundary is not needed for equivalence —
+    the packing code path is identical per fragment)."""
+    from mp2_tpu.groth16.r1cs import R1CS
+
+    P = (1 << 64) - (1 << 32) + 1
+    r = R1CS(spill=spill)
+    x = r.public_input(12345)
+    y = r.public_input(P - 2)
+    z = r.gl_mul(x, y)
+    h = r.poseidon2_hash_no_pad([x, y, z, z])
+    r.enforce_zero(h[0] + h[0].scale(-1))
+    return r
+
+
+def test_spill_rows_equivalence():
+    """SpillRows round-trip: identical CSR triples + witness vs the
+    in-memory path, mid-build check() does NOT freeze the store
+    (advisor r3 medium), iteration keeps working after finalize, and a
+    tampered witness fails check()."""
+    import numpy as np
+
+    r_mem = _build_small_statement(False)
+    r_sp = _build_small_statement(True)
+    assert len(r_sp.rows) == len(r_mem.rows)
+    assert list(r_sp.witness) == list(r_mem.witness)
+
+    # mid-build check must not freeze the spill store
+    assert r_sp.check()
+    w = r_sp.lc(r_sp.new_wire(7))
+    r_sp.gl_mul(w, w)  # append after check: legal
+    assert r_sp.check()
+    w2 = r_mem.lc(r_mem.new_wire(7))
+    r_mem.gl_mul(w2, w2)
+
+    # CSR equivalence (spill finalize vs in-memory to_arrays)
+    mem = r_mem.to_arrays()
+    spl = r_sp.rows.finalize()
+    for k in range(3):
+        mp, mw, mc = mem[k]
+        sp, sw, sc = spl[k]
+        np.testing.assert_array_equal(np.asarray(sp), mp)
+        np.testing.assert_array_equal(np.asarray(sw), mw)
+        np.testing.assert_array_equal(np.asarray(sc), mc)
+    np.testing.assert_array_equal(r_sp.pack_witness(), mem[3])
+
+    # Python replay iteration still works after finalize (advisor r3)
+    replayed = list(r_sp.rows)
+    assert len(replayed) == len(r_mem.rows)
+    assert replayed[0] == r_mem.rows[0]
+    assert replayed[-1] == r_mem.rows[-1]
+
+    # tampered witness fails both the native CSR check and the replay
+    r_bad = _build_small_statement(True)
+    r_bad.witness[3] = r_bad.witness[3] + 1
+    assert not r_bad.check()
+
+
+def test_spill_nnz_accumulates_past_uint32():
+    """_flush must accumulate nnz totals in Python ints (uint32 wrapped at
+    the 100M+-row production scale — advisor r3).  Simulated cheaply by
+    checking the accumulator type after a flush."""
+    from mp2_tpu.groth16.r1cs import SpillRows
+
+    s = SpillRows()
+    for i in range(3):
+        s.append(({1: 1}, {1: 1, 0: 5}, {}))
+    s._flush()
+    assert all(type(v) is int for v in s._nnz)
+    assert s._nnz[0] == 3 and s._nnz[1] == 6 and s._nnz[2] == 0
+    s.finalize()
+
+
 slow = pytest.mark.skipif(
     not __import__("os").environ.get("MP2_SLOW"),
     reason="set MP2_SLOW=1 for prove-heavy tests",
