@@ -53,9 +53,8 @@ _AGG = {
 MIN_BLOCK_PLACEHOLDER = "$MIN_BLOCK"
 MAX_BLOCK_PLACEHOLDER = "$MAX_BLOCK"
 
-
-class ValidationError(ValueError):
-    pass
+# typed error surface lives in errors.py (round 4); keep the legacy name
+from mp2_tpu.parsil.errors import ValidationError  # noqa: E402
 
 
 @dataclass(frozen=True)
@@ -290,4 +289,9 @@ def assemble(query: ast.Select, table: ZkTable) -> CircuitPis:
 
 
 def parse_and_assemble(sql: str, table: ZkTable) -> CircuitPis:
-    return assemble(ast.parse(sql), table)
+    """Legacy permissive entry (parse -> desugar -> assemble, inline
+    LIMIT/OFFSET allowed, no resource accounting).  New code should use
+    parsil.validate.parse_and_validate with ParsilSettings."""
+    from mp2_tpu.parsil.expand import expand
+
+    return assemble(expand(ast.parse(sql), table), table)
