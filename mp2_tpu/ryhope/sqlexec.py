@@ -281,6 +281,37 @@ def run_select(
     table = p.next()
     p.expect("WHERE")
     where = p.expr()
+    # ORDER BY <expr> [ASC|DESC] [, ...] / LIMIT n / OFFSET n — the
+    # bracketer's push-down shapes (parsil/src/bracketer.rs:48-140)
+    order: List[Tuple[Any, bool]] = []
+    if p.peek() and p.peek().upper() == "ORDER":
+        p.next()
+        assert p.next().upper() == "BY"
+        while True:
+            fn = p.expr()
+            desc = False
+            if p.peek() and p.peek().upper() in ("ASC", "DESC"):
+                desc = p.next().upper() == "DESC"
+            order.append((fn, desc))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+    def _count(parser):
+        tok = parser.next()
+        if tok == "%s":
+            v = int(parser.params[parser.pi])
+            parser.pi += 1
+            return v
+        return int(tok)
+
+    limit = offset = None
+    if p.peek() and p.peek().upper() == "LIMIT":
+        p.next()
+        limit = _count(p)
+    if p.peek() and p.peek().upper() == "OFFSET":
+        p.next()
+        offset = _count(p)
     assert p.peek() is None, f"trailing SQL tokens: {p.t[p.i:]}"
 
     rows = []
@@ -290,6 +321,9 @@ def run_select(
             row["payload"] = json.loads(row["payload"])
         if _bool(where(row)):
             rows.append(row)
+
+    for fn, desc in reversed(order):  # stable multi-criteria sort
+        rows.sort(key=lambda r: _num(fn(r)), reverse=desc)
 
     has_agg = any(a for a, _ in items)
     if has_agg:
@@ -324,4 +358,8 @@ def run_select(
                 seen.add(t)
                 dedup.append(t)
         result = dedup
+    if offset:
+        result = result[offset:]
+    if limit is not None:
+        result = result[:limit]
     return result
