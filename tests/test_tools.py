@@ -40,6 +40,60 @@ def test_inspect_render():
     assert "epoch 0" in eps and "epoch 1" in eps
 
 
+def test_inspect_repl_over_pgsql_store():
+    """REPL parity (inspect/src/repl.rs): navigate nodes + travel epochs
+    with views reconstructed purely from the SQL store."""
+    import io
+
+    from mp2_tpu.ryhope.pgsql import MockPg, attach_pgsql
+    from mp2_tpu.tools.inspect import Repl
+    from mp2_tpu.vdb.trees import Cell, RowPayload, build_cells_tree, new_row_tree
+
+    db = new_row_tree()
+    store = attach_pgsql(db, MockPg(), "rows_tree")
+
+    def payload(i):
+        return RowPayload(
+            secondary=Cell(5, 10 * i, False),
+            row_unique_data=(i, i, i, i),
+            cells=build_cells_tree([Cell(7, 100 + i, False)]),
+        )
+
+    db.in_transaction(lambda t: [t.store((10, 0), payload(1)),
+                                 t.store((20, 0), payload(2))])
+    db.in_transaction(lambda t: t.store((30, 0), payload(3)))
+
+    r = Repl(store)  # pgsql-store backend, purely SQL-reconstructed views
+    assert r.epoch == db.epoch == 1
+    eps = r.execute("epochs")
+    assert "epoch 0" in eps and "epoch 1" in eps
+    # navigate
+    assert "->" in r.execute("root")
+    tree = r.execute("tree")
+    assert "(20, 0)" in tree and "epoch=1" in tree
+    out = r.execute("goto (30, 0)")
+    assert "(30, 0)" in out
+    node = r.execute("node")
+    assert "payload:" in node and "parent:" in node
+    lin = r.execute("lineage")
+    assert lin.endswith(str(r.view.root()))
+    # travel to epoch 0: (30, 0) does not exist there
+    assert "at epoch 0" in r.execute("at 0")
+    assert "no node" in r.execute("goto (30, 0)")
+    assert "2 rows" in r.execute("table")
+    # parent/left/right navigation from root
+    r.execute("root")
+    l = r.execute("left")
+    if "no left" not in l:
+        assert "->" in r.execute("parent")
+    # unknown command is reported, quit raises EOFError via run loop
+    assert "unknown command" in r.execute("bogus")
+    inp = io.StringIO("node\nquit\n")
+    outp = io.StringIO()
+    r.run(stdin=inp, stdout=outp)
+    assert "payload:" in outp.getvalue()
+
+
 def test_parsil_cli(capsys):
     """The parsil debug CLI (parsil/src/main.rs role): plan + hash + SQL."""
     from mp2_tpu.parsil.__main__ import main
