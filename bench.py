@@ -34,6 +34,11 @@ sys.path.insert(0, REPO)
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")
 )
+# fixed-column disk cache: circuit BUILD pays ~4 min of INTT/LDE/Merkle
+# per process without it (prover/prove.py _build_fixed)
+os.environ.setdefault(
+    "MP2_FIXED_CACHE", os.path.join(REPO, ".fixed_cache")
+)
 
 LOG_N = int(os.environ.get("BENCH_LOG_N", "22"))
 POSEIDON_BATCH = int(os.environ.get("BENCH_P2_BATCH", str(1 << 18)))
@@ -138,7 +143,9 @@ def _proofs_stage():
 
     rng = np.random.default_rng(0)
     B = int(os.environ.get("BENCH_PROOF_BATCH", "32"))
+    _mark("proofs: circuit build")
     data, input_targets = _build_tree_node(test_config())
+    _mark("proofs: circuit built; witness gen")
     wits, pis_list = [], []
     for _ in range(B):
         vals = [int(v) for v in rng.integers(0, 2**31, 37)]
@@ -150,10 +157,13 @@ def _proofs_stage():
         wits.append(data.generate_witness(dict(zip(input_targets, vals))))
         pis_list.append(pis)
     wits = np.stack(wits)
+    _mark("proofs: prove_batch compile+warm")
     prove_batch(data, wits, pis_list)  # compile + warm
+    _mark("proofs: timed run")
     t0 = time.perf_counter()
     prove_batch(data, wits, pis_list)
     dt = time.perf_counter() - t0
+    _mark("proofs: done")
     out = {
         "tree_node_proofs_per_s": round(B / dt, 2),
         "proof_batch": B,

@@ -44,6 +44,17 @@ class MerkleTree:
             digests = p2.two_to_one(left, right)
             self.digest_levels.append(digests)
 
+    @classmethod
+    def from_levels(cls, leaves: GF, digest_levels: List[GF],
+                    cap_height: int) -> "MerkleTree":
+        """Reconstruct a tree from precomputed digest levels (the fixed-
+        column disk cache path) — skips every hash dispatch."""
+        t = cls.__new__(cls)
+        t.cap_height = cap_height
+        t.leaves = leaves
+        t.digest_levels = list(digest_levels)
+        return t
+
     @property
     def cap(self) -> GF:
         return self.digest_levels[-1]

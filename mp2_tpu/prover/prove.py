@@ -18,6 +18,7 @@ transcript bookkeeping is host-side; the verifier is host-exact python ints
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
@@ -164,18 +165,65 @@ class CircuitData:
         return data
 
     def _build_fixed(self):
+        """Derive the device-side fixed data (INTT -> coset LDE -> Merkle
+        cap).  Over a remote-tunnel backend these eager dispatches cost
+        minutes per process, so when MP2_FIXED_CACHE names a directory the
+        u64 results are cached on disk keyed by a hash of the fixed column
+        values + FRI shape (the reference persists whole
+        `PublicParameters` the same way, mp2-v1/src/api.rs:618-636) and a
+        warm process pays three host->device transfers instead."""
         cfg = self.config
         cols = np.concatenate(
             [self.selector_values, self.constants_values, self.sigma_values],
             axis=1,
         ).T  # (F, n)
+        cap_h = min(cfg.fri.cap_height, self.log_n)
+        cache_dir = os.environ.get("MP2_FIXED_CACHE")
+        cache_path = None
+        if cache_dir:
+            import hashlib
+
+            key = hashlib.sha256(
+                cols.tobytes()
+                + repr((cfg.fri.rate_bits, cap_h, cols.shape)).encode()
+            ).hexdigest()[:32]
+            cache_path = os.path.join(cache_dir, f"fixed_{key}.npz")
+            if os.path.exists(cache_path):
+                with np.load(cache_path) as z:
+                    self.fixed_coeffs = gl.from_u64(z["coeffs"])
+                    self.fixed_lde = gl.from_u64(z["lde"])
+                    levels = [
+                        gl.from_u64(z[f"level_{i}"])
+                        for i in range(int(z["n_levels"]))
+                    ]
+                self.fixed_tree = MerkleTree.from_levels(
+                    _tree_leaves(self.fixed_lde), levels, cap_h
+                )
+                cap = gl.to_u64(self.fixed_tree.cap)
+                flat = [int(v) for row in cap for v in row]
+                self.circuit_digest = p2h.hash_no_pad(
+                    flat + [self.n, cfg.num_wires, cfg.num_challenges]
+                )
+                return
         vals = gl.from_u64(cols)
         self.fixed_coeffs = ntt.intt(vals)
         self.fixed_lde = _lde_from_coeffs(self.fixed_coeffs, cfg.fri.rate_bits)
         leaves = _tree_leaves(self.fixed_lde)
-        self.fixed_tree = MerkleTree(
-            leaves, cap_height=min(cfg.fri.cap_height, self.log_n)
-        )
+        self.fixed_tree = MerkleTree(leaves, cap_height=cap_h)
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            levels = self.fixed_tree.digest_levels
+            tmp = cache_path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(
+                    f,
+                    coeffs=gl.to_u64(self.fixed_coeffs),
+                    lde=gl.to_u64(self.fixed_lde),
+                    n_levels=len(levels),
+                    **{f"level_{i}": gl.to_u64(l)
+                       for i, l in enumerate(levels)},
+                )
+            os.replace(tmp, cache_path)
         cap = gl.to_u64(self.fixed_tree.cap)
         flat = [int(v) for row in cap for v in row]
         self.circuit_digest = p2h.hash_no_pad(
