@@ -302,6 +302,44 @@ def test_wildcard_expands_to_schema_columns():
     assert pis.result.output_ids == [100, 101, 102]
 
 
+def test_isolation_corpus():
+    """Golden isolation cases mirroring parsil/src/tests.rs:212-303: the
+    WHERE clause collapses to index-bound predicates only."""
+    from mp2_tpu.parsil.isolator import isolate
+
+    s = settings(bounds={"max_num_outputs": 5})
+
+    def iso(sql, lo=None, hi=None):
+        return isolate(sql, s, lo, hi)
+
+    base = "SELECT * FROM table2 WHERE block BETWEEN $MIN_BLOCK AND $MAX_BLOCK"
+    want_bounds = ("SELECT * FROM table2 WHERE table2.block >= $MIN_BLOCK "
+                   "AND table2.block <= $MAX_BLOCK")
+    assert iso(base) == f"{want_bounds} LIMIT 5"
+    # other-column predicates are dropped
+    assert iso(base + " AND (3 = 4 OR bar = 5)") == f"{want_bounds} LIMIT 5"
+    # sec. index refs dropped when it has no known bounds
+    assert iso(base + " AND foo < 5") == f"{want_bounds} LIMIT 5"
+    # provided lower bound appears
+    assert iso(base + " AND foo < 5", lo=45) == (
+        f"{want_bounds} AND table2.foo >= 45 LIMIT 5"
+    )
+    # provided upper bound appears
+    assert iso(base + " AND foo < 5", hi=4) == (
+        f"{want_bounds} AND table2.foo <= 4 LIMIT 5"
+    )
+    # both bounds
+    assert iso(base + " AND foo = 50", lo=45, hi=56) == (
+        f"{want_bounds} AND table2.foo >= 45 AND table2.foo <= 56 LIMIT 5"
+    )
+    # any other primary-index predicate is ignored
+    assert iso(base + " AND block = 50") == f"{want_bounds} LIMIT 5"
+    # compound example: ORs and other columns all pruned
+    assert iso(base + " AND (foo = 4 OR foo = 15) AND bar = 12") == (
+        f"{want_bounds} LIMIT 5"
+    )
+
+
 def test_in_list_desugars_to_or_chain():
     pis = check(
         f"SELECT foo FROM table2 WHERE {BOUNDED} AND bar IN (1, 2, 4)"
