@@ -111,6 +111,48 @@ def test_verifier_gadget_rejects_shortened_fri(outer, inner):
         outer_data.check_witness(w, pis)
 
 
+def test_fast_tier_real_outer_prove():
+    """FAST-TIER real recursive prove (VERDICT r3 weak #4 / item 8): the
+    in-circuit verifier of a real inner proof is itself PROVEN and
+    verified — at a minimal FRI shape (2 query rounds) so the whole
+    round trip stays ~1-2 min on CPU with a warm compile cache.  A
+    prover regression can no longer pass the default suite on
+    witness-satisfaction alone."""
+    from mp2_tpu.prover.fri import FriConfig
+
+    cfg = test_config(
+        fri=FriConfig(rate_bits=3, cap_height=1, proof_of_work_bits=2,
+                      num_query_rounds=2)
+    )
+    b = CircuitBuilder(cfg)
+    xs = b.add_inputs(2)
+    h = b.hash_no_pad(xs)
+    b.register_public_inputs(h + xs)
+    data = b.build()
+    vals = [5, 7]
+    w = data.generate_witness(dict(zip(xs, vals)))
+    pis = list(p2h.hash_no_pad(vals)) + vals
+    inner_proof = prove(data, w, pis)
+    assert verify(data, inner_proof)
+
+    common = CommonData.of(data)
+    b2 = CircuitBuilder(cfg)
+    pt = add_virtual_proof(b2, common)
+    cap = [[b2.constant(int(v)) for v in row] for row in data.fixed_cap_host]
+    verify_proof_circuit(b2, common, pt, cap)
+    b2.register_public_inputs(pt.public_inputs)
+    od = b2.build()
+    inputs = {}
+    set_proof_witness(inputs, pt, inner_proof)
+    w2 = od.generate_witness(inputs)
+    outer_proof = prove(od, w2, pis)  # REAL outer prove
+    assert verify(od, outer_proof)
+    # tampering with the outer proof's claimed PIs must fail verification
+    bad = copy.deepcopy(outer_proof)
+    bad.public_inputs = [pis[0] + 1] + pis[1:]
+    assert not verify(od, bad)
+
+
 @slow
 def test_fixed_vk_two_leaf_aggregation():
     """End-to-end: two leaf proofs aggregated under one fixed VK, the
