@@ -79,6 +79,17 @@ def _init_device(timeout_s: int):
     backend)."""
     import jax
 
+    # The axon sitecustomize imports jax at interpreter start, BEFORE this
+    # module's os.environ writes — so the JAX_COMPILATION_CACHE_DIR env
+    # var is never seen by the config (its default was captured with the
+    # var unset) and every bench process recompiled everything (the
+    # 3-round-old proofs-stage timeout).  Set the config explicitly, like
+    # tests/conftest.py does.
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     out = {}
 
     def probe():
