@@ -41,7 +41,7 @@ os.environ.setdefault(
 )
 
 LOG_N = int(os.environ.get("BENCH_LOG_N", "22"))
-POSEIDON_BATCH = int(os.environ.get("BENCH_P2_BATCH", str(1 << 18)))
+POSEIDON_BATCH = int(os.environ.get("BENCH_P2_BATCH", str(1 << 20)))
 TARGET_NTT_MS = 10.0
 TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET", "1500"))
 _T0 = time.time()

@@ -170,6 +170,8 @@ def _stage_modes(log_n: int, inverse: bool):
         pw = [pow(w, j, P) for j in range(h)]
         if all(v == 1 for v in pw):
             modes.append("skip")
+        elif os.environ.get("MP2_NTT_NO_POW2"):
+            modes.append("mul")  # probe knob: generic mul everywhere
         elif all(v in pow2 for v in pw):
             te = [pow2[v] for v in pw]
             for p_ in range(n):
@@ -179,6 +181,172 @@ def _stage_modes(log_n: int, inverse: bool):
         else:
             modes.append("mul")
     return exps, tuple(modes)
+
+
+@lru_cache(maxsize=None)
+def _tables_merged(log_n: int, inverse: bool):
+    """Merged twiddle rows for the PACKED stage formulation: row s holds
+    w^(p mod h) at EVERY lane (not 1 on the even group), because after
+    packing the odd-half elements of two independent rows into one full
+    vector, every lane multiplies by the stage twiddle of its (p mod h)
+    offset.  Row log_n = final scaling (as in _tables).  Also returns the
+    merged pow2 exponent table for the shift-mul stages."""
+    from mp2_tpu.prover import ntt as ntt_mod
+
+    n = 1 << log_n
+    pow2 = {pow(2, t, P): t for t in range(192)}
+    rows = np.ones((log_n + 1, n), dtype=np.uint64)
+    exps = np.zeros((log_n, n), dtype=np.uint32)
+    for s in range(log_n):
+        h = 1 << s
+        w = ntt_mod._root_of_unity(s + 1)
+        if inverse:
+            w = pow(w, P - 2, P)
+        pw = [pow(w, j, P) for j in range(h)]
+        for p in range(n):
+            v = pw[p % h]
+            rows[s, p] = v
+            if v in pow2:
+                exps[s, p] = pow2[v]
+    if inverse:
+        rows[log_n, :] = pow(n, P - 2, P)
+    lo = (rows & 0xFFFFFFFF).astype(np.uint32)
+    hi = (rows >> 32).astype(np.uint32)
+    return lo, hi, exps
+
+
+def _dit_body_lazy_pk(loA, hiA, loB, hiB, twlo_ref, twhi_ref, exp_ref,
+                      log_n: int, modes, apply_scale: bool):
+    """PACKED lazy tile body: processes TWO independent row groups (A, B)
+    per stage with ONE twiddle multiply.
+
+    In the per-row formulation every lane is multiplied by the stage
+    twiddle even though it is 1 on the even half — half the mul work is
+    wasted.  Here the odd-half elements of A (rolled onto the even-group
+    lanes) and the odd-half elements of B (in place) are packed into one
+    full vector, multiplied once by the merged table w^(p mod h)
+    (_tables_merged), then unpacked into both butterflies:
+
+      m        = where(bit_s==0, roll(A, -h), B)   # pack
+      y        = m * w^(p mod h)                   # ONE mul for 2 rows
+      outA     = where(bit_s==0, A + y,        roll(A, h) - roll(y, h))
+      outB     = where(bit_s==0, B + roll(y,-h), roll(B, h) - y)
+
+    (for A the products already sit on the even-group lanes; for B on the
+    odd-group lanes).  Generic-mul cost per element per stage drops from
+    1 to 1/2; bit-exact with _dit_body_lazy (same lazy dialect)."""
+    n = 1 << log_n
+    rows = loA.shape[0]
+    loA, hiA = _bitrev_fix(loA, hiA, log_n)
+    loB, hiB = _bitrev_fix(loB, hiB, log_n)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (rows, n), 1)
+    for s in range(log_n):
+        h = 1 << s
+        is_low = ((lane >> s) & jnp.uint32(1)) == jnp.uint32(0)
+        ml = jnp.where(is_low, pltpu.roll(loA, n - h, 1), loB)
+        mh = jnp.where(is_low, pltpu.roll(hiA, n - h, 1), hiB)
+        if modes[s] == "skip":
+            yl, yh = ml, mh
+        elif modes[s] == "pow2":
+            e = exp_ref[s, :][None, :]
+            yl, yh = K.mul_pow2_lazy(ml, mh, jnp.broadcast_to(e, ml.shape))
+        else:
+            twl = twlo_ref[s, :][None, :]
+            twh = twhi_ref[s, :][None, :]
+            yl, yh = K.mul_lazy(ml, mh, jnp.broadcast_to(twl, ml.shape),
+                                jnp.broadcast_to(twh, mh.shape))
+        # A: t values sit on the even-group lanes of y
+        aAl, aAh = K.add_lazy(loA, hiA, yl, yh)
+        bAl, bAh = K.sub_lazy(pltpu.roll(loA, h, 1), pltpu.roll(hiA, h, 1),
+                              pltpu.roll(yl, h, 1), pltpu.roll(yh, h, 1))
+        # B: t values sit on the odd-group lanes of y
+        aBl, aBh = K.add_lazy(loB, hiB, pltpu.roll(yl, n - h, 1),
+                              pltpu.roll(yh, n - h, 1))
+        bBl, bBh = K.sub_lazy(pltpu.roll(loB, h, 1), pltpu.roll(hiB, h, 1),
+                              yl, yh)
+        loA = jnp.where(is_low, aAl, bAl)
+        hiA = jnp.where(is_low, aAh, bAh)
+        loB = jnp.where(is_low, aBl, bBl)
+        hiB = jnp.where(is_low, aBh, bBh)
+    if apply_scale:
+        twl = twlo_ref[log_n, :][None, :]
+        twh = twhi_ref[log_n, :][None, :]
+        loA, hiA = K.mul_lazy(loA, hiA, jnp.broadcast_to(twl, loA.shape),
+                              jnp.broadcast_to(twh, hiA.shape))
+        loB, hiB = K.mul_lazy(loB, hiB, jnp.broadcast_to(twl, loB.shape),
+                              jnp.broadcast_to(twh, hiB.shape))
+    return loA, hiA, loB, hiB
+
+
+def _make_fused_kernel_lazy_pk(log_n: int, with_twiddle: bool, modes,
+                               apply_scale: bool, canon_out: bool):
+    """Packed-pair lazy fused tile kernel (TILE_R rows split into two
+    groups of TILE_R//2; see _dit_body_lazy_pk)."""
+    R2 = TILE_R // 2
+
+    def kernel(*refs):
+        if with_twiddle:
+            x_ref, twlo_ref, twhi_ref, exp_ref, blo_ref, bhi_ref, out_ref = refs
+        else:
+            x_ref, twlo_ref, twhi_ref, exp_ref, out_ref = refs
+        loA = x_ref[:R2, :]
+        loB = x_ref[R2:TILE_R, :]
+        hiA = x_ref[TILE_R : TILE_R + R2, :]
+        hiB = x_ref[TILE_R + R2 :, :]
+        loA, hiA, loB, hiB = _dit_body_lazy_pk(
+            loA, hiA, loB, hiB, twlo_ref, twhi_ref, exp_ref, log_n, modes,
+            apply_scale,
+        )
+        lo = jnp.concatenate([loA, loB], axis=0)
+        hi = jnp.concatenate([hiA, hiB], axis=0)
+        if with_twiddle:
+            lo, hi = K.mul_lazy(lo, hi, blo_ref[:TILE_R, :],
+                                bhi_ref[:TILE_R, :])
+        if canon_out:
+            lo, hi = K.canon_lazy(lo, hi)
+        out_ref[:TILE_R, :] = lo
+        out_ref[TILE_R:, :] = hi
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _compiled_fused_lazy_pk(log_n: int, n_tiles: int, with_twiddle: bool,
+                            tiles_per_batch: int, inverse: bool,
+                            apply_scale: bool, canon_out: bool,
+                            interpret: bool = False):
+    n = 1 << log_n
+    _, modes = _stage_modes(log_n, inverse)
+    specs = [
+        pl.BlockSpec((2 * TILE_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((log_n + 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((log_n + 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((log_n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if with_twiddle:
+        specs += [
+            pl.BlockSpec(
+                (TILE_R, n),
+                lambda i: (i % tiles_per_batch, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_R, n),
+                lambda i: (i % tiles_per_batch, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    return pl.pallas_call(
+        _make_fused_kernel_lazy_pk(log_n, with_twiddle, modes, apply_scale,
+                                   canon_out),
+        grid=(n_tiles,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (2 * TILE_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 2 * TILE_R, n), jnp.uint32),
+        interpret=interpret,
+    )
 
 
 def _dit_body_lazy(lo, hi, twlo_ref, twhi_ref, exp_ref, log_n: int,
@@ -459,8 +627,27 @@ def _run_fused(lo, hi, log_n, tables, tw_pair, tiles_per_batch=1,
     twlo, twhi = tables
     interpret = jax.devices()[0].platform == "cpu"
     lazy = os.environ.get("MP2_NTT_LAZY", "1") != "0"
+    packed = (
+        lazy
+        and TILE_R % 2 == 0
+        and os.environ.get("MP2_NTT_PACKED", "0") == "1"
+    )
     with jax.enable_x64(False):
-        if lazy:
+        if packed:
+            mlo, mhi, mexps = _tables_merged(log_n, inverse)
+            # the caller's table variant only changes the scale row
+            mlo = mlo.copy(); mhi = mhi.copy()
+            mlo[log_n] = twlo[log_n]
+            mhi[log_n] = twhi[log_n]
+            args = [st, jnp.asarray(mlo), jnp.asarray(mhi),
+                    jnp.asarray(mexps)]
+            if tw_pair is not None:
+                args += [jnp.asarray(tw_pair[0]), jnp.asarray(tw_pair[1])]
+            out = _compiled_fused_lazy_pk(
+                log_n, n_tiles, tw_pair is not None, tiles_per_batch,
+                inverse, apply_scale, canon_out, interpret
+            )(*args)
+        elif lazy:
             exps, _ = _stage_modes(log_n, inverse)
             args = [st, jnp.asarray(twlo), jnp.asarray(twhi),
                     jnp.asarray(exps)]
@@ -613,6 +800,27 @@ def ntt_four_step_fused(xv: jax.Array, inverse: bool) -> jax.Array:
     y_lo = jnp.swapaxes(c_lo.reshape(B, n1, n2), 1, 2).reshape(B, n)
     y_hi = jnp.swapaxes(c_hi.reshape(B, n1, n2), 1, 2).reshape(B, n)
     return y_lo.astype(jnp.uint64) | (y_hi.astype(jnp.uint64) << np.uint64(32))
+
+
+def ntt_full(xv: jax.Array, inverse: bool) -> jax.Array:
+    """Complete single-pass NTT on (B, n) u64 NATURAL-order vectors for
+    n that fits one VMEM tile row (512 <= n <= 2^14): in-VMEM bitrev +
+    all stages in the lazy packed kernel, canonical natural-order output
+    (scaled by n^-1 when inverse).  Replaces the host-gather bitrev +
+    always-canonical kernel on the mid-size path (prover/ntt._ntt_small),
+    which is the shape class the batched tree-node prover hits."""
+    B, n = xv.shape
+    log_n = n.bit_length() - 1
+    pad_rows = (-B) % TILE_R
+    x = jnp.pad(xv, ((0, pad_rows), (0, 0)))
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (x >> np.uint64(32)).astype(jnp.uint32)
+    out_lo, out_hi = _run_fused(
+        lo, hi, log_n, _tables(log_n, inverse), None,
+        inverse=inverse, apply_scale=inverse, canon_out=True,
+    )
+    res = out_lo.astype(jnp.uint64) | (out_hi.astype(jnp.uint64) << np.uint64(32))
+    return res[:B]
 
 
 def ntt_stages_bitrev_input(xv: jax.Array, inverse: bool) -> jax.Array:

@@ -71,7 +71,7 @@ from functools import partial
 # Above this size, use the four-step (Bailey) decomposition: two passes of
 # small contiguous transforms + a twiddle pass + transposes — far friendlier
 # to VMEM tiling than 22 strided butterfly stages over HBM.
-_FOUR_STEP_MIN_LOG = 16
+_FOUR_STEP_MIN_LOG = 15
 
 
 @partial(jax.jit, static_argnames=("inverse",))
@@ -114,6 +114,13 @@ def _ntt_small(x: GF, inverse: bool) -> GF:
 
     if n >= 512 and _pallas_ntt_available():
         try:
+            if n <= (1 << 14):
+                # single fused kernel: in-VMEM bitrev (no HBM gather) +
+                # lazy packed stages (ops/ntt_pallas.ntt_full)
+                from mp2_tpu.ops.ntt_pallas import ntt_full
+
+                out = ntt_full(x.v.reshape(-1, n), inverse)
+                return GF(out.reshape(batch + (n,)))
             from mp2_tpu.ops.ntt_pallas import ntt_stages_bitrev_input
 
             xr = gl.take(x, _bitrev_indices(log_n), axis=-1)
