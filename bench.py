@@ -30,6 +30,25 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# The cache dirs are gitignored, so a fresh checkout (driver round start)
+# loses them and the proofs stage pays a ~25 min cold compile it cannot
+# fit.  A committed snapshot tarball is the durable copy: restore it
+# whenever the live dirs are missing (round-4 lesson — the warm caches
+# built mid-round were wiped before the driver's end-of-round run).
+_SNAPSHOT = os.path.join(REPO, ".cache_snapshot.tar.gz")
+if os.path.exists(_SNAPSHOT) and not os.path.isdir(
+    os.path.join(REPO, ".jax_cache")
+):
+    import tarfile
+
+    try:
+        with tarfile.open(_SNAPSHOT) as tf:
+            tf.extractall(REPO)
+        print("bench: restored .jax_cache/.fixed_cache from snapshot",
+              file=sys.stderr)
+    except Exception as e:  # cold run is slow but correct
+        print(f"bench: snapshot restore failed: {e!r}", file=sys.stderr)
+
 # persistent compile cache: remote TPU compiles cost minutes each cold
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")
@@ -229,6 +248,11 @@ def main():
     _mark("poseidon2 compile+bench")
     p2_s = _bench(p2.permute, (states,), iters=8)
     perms_per_s = POSEIDON_BATCH / p2_s
+    # planar (per-lane) entry: the prover's layout — no (B,12)<->(12,B)
+    # transposes around the kernel (hash/poseidon2.py permute_lanes)
+    lanes = [states[..., i] for i in range(12)]
+    p2p_s = _bench(lambda *ls: p2.permute_lanes(list(ls)), tuple(lanes),
+                   iters=8)
     _mark("poseidon2 done")
 
     # calibrate the fixed per-dispatch cost of the axon tunnel (a trivial
@@ -243,6 +267,7 @@ def main():
     _RESULT["extra"].update({
         "device": str(dev),
         "poseidon2_perms_per_s": int(perms_per_s),
+        "poseidon2_planar_perms_per_s": int(POSEIDON_BATCH / p2p_s),
         "poseidon2_batch": POSEIDON_BATCH,
         "dispatch_overhead_ms": round(dispatch_s * 1e3, 2),
         "ntt_ms_minus_dispatch": round(ntt_ms - dispatch_s * 1e3, 3),

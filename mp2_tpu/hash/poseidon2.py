@@ -153,7 +153,26 @@ def permute(state: GF) -> GF:
 
 
 def permute_lanes(lanes: List[GF]) -> List[GF]:
-    """Permutation on 12 separate GF tensors (one per lane)."""
+    """Permutation on 12 separate GF tensors (one per lane).
+
+    Per-lane tensors are already plane-major, which is the Pallas
+    kernel's native layout — the planar entry skips the two
+    (B,12)<->(12,B) transposes the stacked API pays (~2x wall at 2^20
+    on v5e), so this is the prover's hot entry (sponge / merkle lanes).
+    """
+    batch = lanes[0].shape
+    n = 1
+    for d in batch:
+        n *= d
+    if n >= _PALLAS_MIN_BATCH and _pallas_available():
+        try:
+            from mp2_tpu.ops.poseidon2_pallas import permute_lanes_u64
+
+            flat = [x.v.reshape(n) for x in lanes]
+            out = permute_lanes_u64(flat)
+            return [GF(o.reshape(batch)) for o in out]
+        except Exception:
+            _pallas_state["ok"] = False  # fall back permanently
     out = permute(gl.stack(lanes, axis=-1))
     return [out[..., i] for i in range(WIDTH)]
 
@@ -177,8 +196,7 @@ def _sponge_impl(inputs: GF, num_outputs: int) -> GF:
 
 
 def _permute_lanes_list(lanes: List[GF]) -> List[GF]:
-    out = permute(gl.stack(lanes, axis=-1))
-    return [out[..., i] for i in range(WIDTH)]
+    return permute_lanes(lanes)
 
 
 _sponge_jit_cache = {}

@@ -30,6 +30,24 @@ def test_kernel_matches_host_golden(batch):
         assert [int(v) for v in out[i]] == [int(v) for v in exp]
 
 
+@pytest.mark.parametrize("batch", [8 * TILE_L, 1024 + 37])
+def test_planar_lanes_match_stacked(batch):
+    """permute_lanes_u64 (planar, no-transpose pack) == (B,12) API."""
+    from mp2_tpu.ops.poseidon2_pallas import permute_lanes_u64_interpret
+
+    rng = np.random.default_rng(7 + batch)
+    st = rng.integers(0, P, size=(batch, 12), dtype=np.uint64)
+    want = np.asarray(permute_batch_u64_interpret(st))
+    got = np.stack(
+        [
+            np.asarray(o)
+            for o in permute_lanes_u64_interpret([st[:, i] for i in range(12)])
+        ],
+        axis=1,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_kernel_matches_xla_path():
     """The XLA permute path and the kernel agree on a full batch."""
     from mp2_tpu.field import goldilocks as gl

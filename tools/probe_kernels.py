@@ -130,6 +130,19 @@ def probe_p2():
             f"marginal {marg*1e3:.3f} ms = {B/marg/1e6:.2f} M/s",
             flush=True,
         )
+        # planar (per-lane) entry: no transposes around the kernel
+        lanes = [st[..., i] for i in range(12)]
+        wp = _wall(lambda *ls: p2.permute_lanes(list(ls)), tuple(lanes),
+                   iters=6)
+        margp, _ = _chained(
+            lambda ls: tuple(p2.permute_lanes(list(ls))), tuple(lanes)
+        )
+        print(
+            f"poseidon2 planar B=2^{logb}: wall {wp*1e3:.3f} ms = "
+            f"{B/wp/1e6:.2f} M/s; marginal {margp*1e3:.3f} ms = "
+            f"{B/margp/1e6:.2f} M/s",
+            flush=True,
+        )
 
 
 def probe_sweep():
