@@ -36,14 +36,25 @@ sys.path.insert(0, REPO)
 # whenever the live dirs are missing (round-4 lesson — the warm caches
 # built mid-round were wiped before the driver's end-of-round run).
 _SNAPSHOT = os.path.join(REPO, ".cache_snapshot.tar.gz")
-if os.path.exists(_SNAPSHOT) and not os.path.isdir(
-    os.path.join(REPO, ".jax_cache")
-):
+
+
+def _cache_missing(repo):
+    """True when either cache dir is absent or effectively empty (an
+    interrupted cold run leaves a near-empty .jax_cache that must not
+    suppress the restore)."""
+    for d in (".jax_cache", ".fixed_cache"):
+        p = os.path.join(repo, d)
+        if not os.path.isdir(p) or not os.listdir(p):
+            return True
+    return False
+
+
+if os.path.exists(_SNAPSHOT) and _cache_missing(REPO):
     import tarfile
 
     try:
         with tarfile.open(_SNAPSHOT) as tf:
-            tf.extractall(REPO)
+            tf.extractall(REPO, filter="data")
         print("bench: restored .jax_cache/.fixed_cache from snapshot",
               file=sys.stderr)
     except Exception as e:  # cold run is slow but correct

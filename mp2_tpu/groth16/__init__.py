@@ -10,14 +10,15 @@ pairing (generic Miller loop — bilinearity self-tested at load), Fr FFT,
 and Groth16 setup/prove/verify over an R1CS.
 
 Scope vs the reference: the reference's gnark circuit verifies the wrapped
-plonky2 proof INSIDE the SNARK (gnark-plonky2-verifier).  Here the Groth16
-statement (wrap_revelation_poseidon) recomputes the Poseidon2-Goldilocks
-hash of the revelation public inputs IN-SNARK — the same commitment the
-TP2 transcript binds — via the R1CS gadget layer in groth16/r1cs.py
-(Goldilocks emulation + the full Poseidon2 permutation, ~94k constraints
-for one permutation).  Extending that statement to the complete in-SNARK
-TP2 verifier (transcript + FRI) is the tracked next step (NEXT.md); the
-cheap squaring-chain binding (wrap_revelation) remains as the fast path.
+plonky2 proof INSIDE the SNARK (gnark-plonky2-verifier).  The same holds
+here: groth16/r1cs_builder.py builds the COMPLETE in-SNARK TP2 verifier
+(transcript replay, zeta identity, full FRI verification, circuit-digest
+binding to the wrap VK) as an R1CS over the gadget layer in
+groth16/r1cs.py (Goldilocks emulation + the full Poseidon2 permutation);
+proven end-to-end over the real revelation proof in
+tests/test_full_stack.py.  The lighter statements
+(wrap_revelation_poseidon: in-SNARK Poseidon2 PI commitment;
+wrap_revelation: squaring-chain binding) remain as fast paths for tests.
 The CRS is generated in-process (dev-grade trusted setup, like gnark's
 test setup).
 """

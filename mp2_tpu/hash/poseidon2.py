@@ -114,7 +114,10 @@ _permute_jit = jax.jit(_permute_impl)
 # Pallas fast path: used on TPU backends for large batches (bit-exact with
 # the XLA path; ~5x faster on v5e).  Set MP2_NO_PALLAS=1 to disable.
 _PALLAS_MIN_BATCH = 1024
-_pallas_state = {"checked": False, "ok": False}
+# "ok" gates the stacked (B,12) entry; "planar_ok" gates the per-lane
+# entry separately, so a planar-only trace failure degrades to the
+# stacked kernel instead of all the way to the XLA path (ADVICE r4).
+_pallas_state = {"checked": False, "ok": False, "planar_ok": True}
 
 
 def _pallas_available() -> bool:
@@ -164,7 +167,11 @@ def permute_lanes(lanes: List[GF]) -> List[GF]:
     n = 1
     for d in batch:
         n *= d
-    if n >= _PALLAS_MIN_BATCH and _pallas_available():
+    if (
+        n >= _PALLAS_MIN_BATCH
+        and _pallas_available()
+        and _pallas_state["planar_ok"]
+    ):
         try:
             from mp2_tpu.ops.poseidon2_pallas import permute_lanes_u64
 
@@ -172,7 +179,7 @@ def permute_lanes(lanes: List[GF]) -> List[GF]:
             out = permute_lanes_u64(flat)
             return [GF(o.reshape(batch)) for o in out]
         except Exception:
-            _pallas_state["ok"] = False  # fall back permanently
+            _pallas_state["planar_ok"] = False  # stacked path still usable
     out = permute(gl.stack(lanes, axis=-1))
     return [out[..., i] for i in range(WIDTH)]
 
