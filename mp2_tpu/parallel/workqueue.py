@@ -108,6 +108,50 @@ class WorkQueue:
             deps = [str(c) for c in tree.children_map.get(key, [])]
             self.add(str(key), circuit, payload, deps)
 
+    def add_batched_workplan(
+        self, tree, subtree_size: int,
+        classify: Callable[[Hashable], Tuple[str, bytes]],
+    ) -> int:
+        """Load a ryhope UpdateTree at SUBTREE granularity
+        (into_batched_workplan, updatetree.rs:362-430): each queue item is
+        a complete pending subtree of <= subtree_size nodes, leased as one
+        unit so a worker proves a B-sized batch bottom-up per round trip.
+
+        The item payload is a JSON envelope:
+          {"root": key, "order": [keys bottom-up],
+           "nodes": {key: {"circuit": .., "payload": b64,
+                           "children": [keys]}}}
+        where `children` lists the node's dirtied children in the FULL
+        update tree (possibly owned by dependency items).  Returns the
+        number of items queued."""
+        plan = tree.into_batched_workplan(subtree_size)
+        items = list(plan)  # sequential drain fixes the partition
+        owner: Dict[str, str] = {}
+        for item in items:
+            for k in item.order:
+                owner[str(k)] = str(item.key)
+        for item in items:
+            in_item = {str(k) for k in item.order}
+            deps = set()
+            nodes = {}
+            for k in item.order:
+                circuit, payload = classify(k)
+                kids = [str(c) for c in tree.children_map.get(k, [])]
+                nodes[str(k)] = {
+                    "circuit": circuit, "payload": _b64(payload),
+                    "children": kids,
+                }
+                for c in kids:
+                    if c not in in_item:
+                        deps.add(owner[c])
+            env = json.dumps({
+                "root": str(item.key),
+                "order": [str(k) for k in item.order],
+                "nodes": nodes,
+            }).encode()
+            self.add(str(item.key), "subtree", env, sorted(deps))
+        return len(items)
+
     # ----------------------------------------------------------- consumer
     def _ready(self, it: _Item, now: float) -> bool:
         if it.done:
