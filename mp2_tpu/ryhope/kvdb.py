@@ -11,9 +11,14 @@ Role of ryhope's `MerkleTreeKvDb` facade (/root/reference/ryhope/src/lib.rs:
   4. returns the `UpdateTree` of dirtied lineage — the proving workplan
      (commit_transaction, lib.rs:567-581).
 
-Backend: in-memory snapshots (the reference's storage::memory equivalent);
-a Postgres-backed storage is a later milestone (storage traits mirrored so
-backends swap underneath).
+Storage is a pluggable BACKEND behind one facade (the reference's
+`MerkleTreeKvDb<T, V, S: storage>` shape, lib.rs:119): `MemoryBackend`
+(storage::memory role) keeps per-epoch snapshots in RAM;
+`mp2_tpu.ryhope.pgsql.SqlBackend` (storage::pgsql role) persists the COW
+row-versioned SQL layout with a bounded read cache (CachedDbStore role,
+storage/pgsql/storages.rs).  Tree semantics (commit, aggregation,
+workplans, views, rollback, diff) live HERE once; backends only move
+epochs in and out.
 """
 
 from __future__ import annotations
@@ -82,13 +87,70 @@ class Transaction(Generic[K, V]):
         self.removals.append(key)
 
 
+class MemoryBackend(Generic[K, V]):
+    """storage::memory role: one (tree, payloads) snapshot per epoch."""
+
+    def __init__(self):
+        self._snapshots: List[Tuple[object, Dict[K, V]]] = []
+
+    def store_epoch(self, epoch: int, tree, payloads: Dict[K, V],
+                    changed: Dict[K, V], removed: List[K], root,
+                    user_epoch: Optional[int] = None) -> None:
+        assert epoch == len(self._snapshots)
+        self._snapshots.append((copy.deepcopy(tree), dict(payloads)))
+
+    def load_epoch(self, epoch: int):
+        t, p = self._snapshots[epoch]
+        return t, p
+
+    def diff_at(self, epoch: int):
+        _, cur = self._snapshots[epoch]
+        prev = self._snapshots[epoch - 1][1] if epoch > 0 else {}
+        changed = {
+            k: v for k, v in cur.items()
+            if k not in prev or prev[k] is not v
+        }
+        removed = [k for k in prev if k not in cur]
+        return changed, removed
+
+    def rollback_to(self, epoch: int):
+        del self._snapshots[epoch + 1:]
+        t, p = self._snapshots[epoch]
+        return copy.deepcopy(t), dict(p)
+
+
+class TeeBackend(Generic[K, V]):
+    """Write to every backend, read from the first (the attach_pgsql
+    mirroring discipline: memory stays authoritative, SQL is persisted)."""
+
+    def __init__(self, backends):
+        self.backends = list(backends)
+
+    def store_epoch(self, *a, **kw):
+        for b in self.backends:
+            b.store_epoch(*a, **kw)
+
+    def load_epoch(self, epoch: int):
+        return self.backends[0].load_epoch(epoch)
+
+    def diff_at(self, epoch: int):
+        return self.backends[0].diff_at(epoch)
+
+    def rollback_to(self, epoch: int):
+        out = None
+        for b in self.backends:
+            r = b.rollback_to(epoch)
+            out = out or r
+        return out
+
+
 class MerkleTreeKvDb(Generic[K, V]):
-    def __init__(self, tree, aggregate: AggregateFn):
+    def __init__(self, tree, aggregate: AggregateFn, backend=None):
         self.tree = tree
         self.aggregate = aggregate
         self.payloads: Dict[K, V] = {}
         self.epoch = -1
-        self._snapshots: List[Tuple[object, Dict[K, V]]] = []
+        self.backend = backend if backend is not None else MemoryBackend()
 
     # ------------------------------------------------------------- reads
     def current_view(self) -> TreeView:
@@ -96,7 +158,7 @@ class MerkleTreeKvDb(Generic[K, V]):
 
     def view_at(self, epoch: int) -> TreeView:
         assert 0 <= epoch <= self.epoch
-        t, p = self._snapshots[epoch]
+        t, p = self.backend.load_epoch(epoch)
         return TreeView(t, p, epoch)
 
     def root(self) -> Optional[K]:
@@ -179,18 +241,30 @@ class MerkleTreeKvDb(Generic[K, V]):
             self.payloads[key] = self.aggregate(
                 key, copy.copy(self.payloads[key]), childs
             )
-        # snapshot the epoch
+        # persist the epoch through the backend seam
         self.epoch += 1
-        self._snapshots.append(
-            (copy.deepcopy(self.tree), dict(self.payloads))
+        changed = {
+            k: self.payloads[k]
+            for k in set(tx.stores) | {kk for kk in closure}
+            if k in self.payloads
+        }
+        removed = [k for k in tx.removals if k not in self.payloads]
+        self.backend.store_epoch(
+            self.epoch, self.tree, self.payloads, changed, removed,
+            self.root(), user_epoch=getattr(tx, "user_epoch", None),
         )
         return ut
+
+    def diff_at(self, epoch: int):
+        """(changed, removed) at `epoch` vs the previous epoch (the
+        reference's `diff_at`, ryhope/src/lib.rs)."""
+        assert 0 <= epoch <= self.epoch
+        return self.backend.diff_at(epoch)
 
     def rollback_to(self, epoch: int):
         """Reference: storage/mod.rs:430-480."""
         assert 0 <= epoch <= self.epoch
-        t, p = self._snapshots[epoch]
-        self.tree = copy.deepcopy(t)
+        t, p = self.backend.rollback_to(epoch)
+        self.tree = t
         self.payloads = dict(p)
         self.epoch = epoch
-        del self._snapshots[epoch + 1 :]

@@ -151,6 +151,26 @@ class PgsqlTreeStore:
         )
         return {_dec(k): _dec(p) for k, p in cur.fetchall()}
 
+    def versions_born_at(self, epoch: int) -> Dict:
+        """Keys whose current version starts exactly at `epoch` (the
+        'changed' half of diff_at)."""
+        cur = self.conn.cursor()
+        cur.execute(
+            f"SELECT key, payload FROM {self.t} WHERE __valid_from = %s",
+            (epoch,),
+        )
+        return {_dec(k): _dec(p) for k, p in cur.fetchall()}
+
+    def keys_closed_at(self, epoch: int) -> List:
+        """Keys whose version was closed at `epoch` (candidates for the
+        'removed' half of diff_at — minus same-epoch rebirths)."""
+        cur = self.conn.cursor()
+        cur.execute(
+            f"SELECT key FROM {self.t} WHERE __valid_until = %s",
+            (epoch,),
+        )
+        return [_dec(k) for (k,) in cur.fetchall()]
+
     # ------------------------------------------------------------- rollback
     def rollback_to(self, epoch: int) -> None:
         cur = self.conn.cursor()
@@ -169,33 +189,72 @@ class PgsqlTreeStore:
         self.conn.commit()
 
 
-def attach_pgsql(db, conn, table: str, user_epoch_fn=None) -> PgsqlTreeStore:
-    """Persist every commit of a MerkleTreeKvDb through a PgsqlTreeStore
-    by wrapping its _commit; returns the store."""
-    store = PgsqlTreeStore(conn, table)
-    orig = db._commit
+class SqlBackend:
+    """MerkleTreeKvDb storage backend over a PgsqlTreeStore: the
+    storage::pgsql role behind the SAME facade as MemoryBackend
+    (reference: ryhope/src/lib.rs:119 parameterizes the tree over S).
 
-    def committing(tx):
-        before = dict(db.payloads)
-        plan = orig(tx)
-        after = db.payloads
-        changed = {
-            k: v for k, v in after.items()
-            if k not in before or before[k] is not v
-        }
-        removed = [k for k in before if k not in after]
-        store.commit_epoch(
-            db.epoch,
-            changed,
-            removed,
-            db.root(),
-            pickle.dumps(db.tree).hex(),
-            user_epoch_fn(tx) if user_epoch_fn else None,
+    Reads go through a bounded per-epoch cache (the CachedDbStore /
+    CachedDbTreeStore role, storage/pgsql/storages.rs) so repeated
+    view_at/lineage walks don't re-fetch whole epochs from SQL."""
+
+    def __init__(self, conn, table: str, cache_epochs: int = 8):
+        self.store = PgsqlTreeStore(conn, table)
+        self.cache_epochs = cache_epochs
+        self._cache: Dict[int, Tuple[object, Dict]] = {}
+
+    def store_epoch(self, epoch: int, tree, payloads, changed, removed,
+                    root, user_epoch: Optional[int] = None) -> None:
+        self.store.commit_epoch(
+            epoch, changed, removed, root,
+            pickle.dumps(tree).hex(), user_epoch,
         )
-        return plan
+        self._cache.pop(epoch, None)
 
-    db._commit = committing
-    return store
+    def load_epoch(self, epoch: int):
+        hit = self._cache.get(epoch)
+        if hit is not None:
+            return hit
+        meta = self.store.meta_at(epoch)
+        assert meta is not None, f"no epoch {epoch} in the SQL store"
+        root, tree_blob = meta
+        tree = pickle.loads(bytes.fromhex(tree_blob))
+        payloads = self.store.fetch_at(epoch)
+        if len(self._cache) >= self.cache_epochs:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[epoch] = (tree, payloads)
+        return tree, payloads
+
+    def diff_at(self, epoch: int):
+        births = self.store.versions_born_at(epoch)  # {key: payload}
+        died = self.store.keys_closed_at(epoch - 1)
+        removed = [k for k in died if k not in births]
+        return births, removed
+
+    def rollback_to(self, epoch: int):
+        self.store.rollback_to(epoch)
+        self._cache.clear()
+        t, p = self.load_epoch(epoch)
+        return pickle.loads(pickle.dumps(t)), dict(p)
+
+
+def attach_pgsql(db, conn, table: str, user_epoch_fn=None) -> PgsqlTreeStore:
+    """Mirror every commit of a MerkleTreeKvDb into a PgsqlTreeStore via
+    the backend seam (memory stays the read-primary; SQL is persisted
+    write-through).  Returns the store."""
+    from mp2_tpu.ryhope.kvdb import TeeBackend
+
+    backend = SqlBackend(conn, table)
+    db.backend = TeeBackend([db.backend, backend])
+    if user_epoch_fn is not None:
+        orig = db._commit
+
+        def committing(tx):
+            tx.user_epoch = user_epoch_fn(tx)
+            return orig(tx)
+
+        db._commit = committing
+    return backend.store
 
 
 def load_view(store: PgsqlTreeStore, epoch: int):
@@ -305,6 +364,24 @@ class _MockCursor:
                 (r["key"], r["payload"])
                 for r in self.db.tables[m.group(1)]
                 if r["__valid_from"] <= e1 and r["__valid_until"] >= e2
+            ]
+            return
+        m = re.match(
+            r"SELECT key, payload FROM (\w+) WHERE __valid_from = %s", s
+        )
+        if m:
+            self._rows = [
+                (r["key"], r["payload"])
+                for r in self.db.tables[m.group(1)]
+                if r["__valid_from"] == params[0]
+            ]
+            return
+        m = re.match(r"SELECT key FROM (\w+) WHERE __valid_until = %s", s)
+        if m:
+            self._rows = [
+                (r["key"],)
+                for r in self.db.tables[m.group(1)]
+                if r["__valid_until"] == params[0]
             ]
             return
         m = re.match(r"SELECT root, tree FROM (\w+) WHERE epoch = %s", s)
