@@ -82,6 +82,7 @@ class CircuitTableIndexer:
         index_tree_depth: int = 4,
         branch_arities=(1, 2, 3),
         tabular_rows: int = 0,
+        proof_store=None,
     ):
         self.cfg = cfg
         self.config = config or test_config()
@@ -99,13 +100,21 @@ class CircuitTableIndexer:
         self.block_db = new_block_tree()
         self.table_data = TableData(cfg.schema())
 
-        # proof stores (ProofKV role): latest envelope per tree node, the
-        # rows ROOT envelope per epoch (ancestor re-proofs need it), and
-        # typed stage proofs
-        self.rows_node_env: Dict = {}
-        self.rows_root_env: Dict[int, WrappedEnvelope] = {}
-        self.block_node_env: Dict = {}
-        self.proofs: Dict = {}
+        # proof stores (ProofKV role, proof_storage.rs): latest envelope
+        # per tree node, the rows ROOT envelope per epoch (ancestor
+        # re-proofs need it), and typed stage proofs — all routed through
+        # ONE pluggable ProofStorage (pass SqliteProofKV(path) for durable
+        # cross-process storage)
+        from mp2_tpu.models.proof_store import MemoryProofStore, ProofDict
+
+        # `is not None`: an EMPTY SqliteProofKV is len()==0 hence falsy
+        self.proof_store = (
+            proof_store if proof_store is not None else MemoryProofStore()
+        )
+        self.rows_node_env = ProofDict(self.proof_store, "row_tree")
+        self.rows_root_env = ProofDict(self.proof_store, "rows_root")
+        self.block_node_env = ProofDict(self.proof_store, "index_tree")
+        self.proofs = ProofDict(self.proof_store)
         self.epoch_of: Dict[int, int] = {}
         self.rows_of_block: Dict[int, Dict[bytes, int]] = {}
 

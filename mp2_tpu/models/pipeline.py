@@ -196,15 +196,24 @@ class TableIndexer:
     """Drives extraction -> rows tree -> block tree -> IVC per block, with
     proofs over the update-tree workplans (map-reduce DAG)."""
 
-    def __init__(self, cfg: MappingTableConfig, backend=None):
+    def __init__(self, cfg: MappingTableConfig, backend=None,
+                 proof_store=None):
+        from mp2_tpu.models.proof_store import MemoryProofStore, ProofDict
+
         self.cfg = cfg
         self.rows_db = new_row_tree()
         self.block_db = new_block_tree()
         self.framework = RecursiveCircuits(CIRCUITS, backend=backend)
-        self.proofs: Dict = {}  # ProofKV equivalent: typed key -> ProofWithVK
+        # ProofKV (proof_storage.rs role): typed stage keys into ONE
+        # pluggable store — pass SqliteProofKV(path) for durable storage
+        # `is not None`: an EMPTY SqliteProofKV is len()==0 hence falsy
+        self.proof_store = (
+            proof_store if proof_store is not None else MemoryProofStore()
+        )
+        self.proofs = ProofDict(self.proof_store)
         # latest proof per tree node (across blocks): lets a parent proved in
         # epoch N reference a child proof generated in an earlier epoch
-        self.node_proofs: Dict = {}
+        self.node_proofs = ProofDict(self.proof_store, "node")
         self.table_data = TableData(cfg.schema())
         self.ivc: Optional[IvcOutput] = None
         self.metadata_hash: Optional[Tuple[int, int, int, int]] = None
