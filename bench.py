@@ -169,23 +169,31 @@ def _bench(fn, args, iters=5, rounds=3):
     return best
 
 
-def _proofs_stage():
+def _proofs_stage(production: bool = False):
     """Batched map-phase throughput: B independent tree-node witnesses
     proved per dispatch sequence (prover/batch.py), each proof
     individually host-verifiable.  Run as `bench.py --proofs`: prints one
-    JSON dict with the measurements (consumed by the parent process)."""
+    JSON dict with the measurements (consumed by the parent process).
+
+    `production` (bench.py --proofs-prod): the SAME circuit at the
+    production CircuitConfig — rate 1/8, cap 4, 28 FRI query rounds,
+    16 PoW bits (VERDICT r4 weak 3: the driver metric must not only
+    reflect the soundness-light test shape)."""
     _init_device(int(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
     import numpy as np
 
     from mp2_tpu.hash import poseidon2_host as p2h
     from mp2_tpu.prover.batch import prove_batch
-    from mp2_tpu.prover.config import test_config
+    from mp2_tpu.prover.config import CircuitConfig, test_config
     from mp2_tpu.recursion.tp2_backend import _build_tree_node
 
     rng = np.random.default_rng(0)
-    B = int(os.environ.get("BENCH_PROOF_BATCH", "32"))
+    B = int(os.environ.get(
+        "BENCH_PROD_BATCH" if production else "BENCH_PROOF_BATCH",
+        "8" if production else "32"))
     _mark("proofs: circuit build")
-    data, input_targets = _build_tree_node(test_config())
+    cfg = CircuitConfig() if production else test_config()
+    data, input_targets = _build_tree_node(cfg)
     _mark("proofs: circuit built; witness gen")
     wits, pis_list = [], []
     for _ in range(B):
@@ -205,6 +213,12 @@ def _proofs_stage():
     prove_batch(data, wits, pis_list)
     dt = time.perf_counter() - t0
     _mark("proofs: done")
+    if production:
+        print(json.dumps({
+            "tree_node_proofs_per_s_production": round(B / dt, 2),
+            "production_proof_batch": B,
+        }), flush=True)
+        return
     out = {
         "tree_node_proofs_per_s": round(B / dt, 2),
         "proof_batch": B,

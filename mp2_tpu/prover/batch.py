@@ -555,28 +555,52 @@ def _stage_queries_fn(data: CircuitData, state, buffer, pow_w, trees, fold_trees
     return out
 
 
+def _grind_span_fn(n_state: int, n_buffer: int, span: int):
+    """ONE jitted dispatch per grinding span: the eager clone-challenger
+    path cost ~41 ms/batch in tunnel round trips (r5 stage profile) —
+    each gl op dispatched separately; this compiles the whole
+    (B, span) duplex squeeze into a single program."""
+
+    def fn(state, buffer, base):
+        B = state.shape[1]
+        clone = Challenger(batch=(B, span))
+        clone._state = [
+            GF(jnp.broadcast_to(state[i][:, None], (B, span)))
+            for i in range(n_state)
+        ]
+        clone._input_buffer = [
+            GF(jnp.broadcast_to(buffer[i][:, None], (B, span)))
+            for i in range(n_buffer)
+        ]
+        nonces = base + jnp.arange(span, dtype=jnp.uint64)
+        clone.observe(GF(jnp.broadcast_to(nonces[None, :], (B, span))))
+        return clone.get_challenge().v  # (B, span) u64
+
+    return jax.jit(fn)
+
+
+_GRIND_JITS: Dict = {}
+
+
 def _grind_from_state(state_v, buffer_v, pow_bits: int) -> np.ndarray:
     """Vectorized grinding from a raw challenger-state snapshot."""
     B = state_v.shape[1]
     if pow_bits == 0:
         return np.zeros(B, dtype=np.uint64)
     span = max(2048, 1 << (pow_bits + 3))
+    key = (state_v.shape[0], buffer_v.shape[0], span)
+    if key not in _GRIND_JITS:
+        _GRIND_JITS[key] = _grind_span_fn(*key)
+    fn = _GRIND_JITS[key]
+    state_j = jnp.asarray(state_v)
+    buffer_j = jnp.asarray(buffer_v)
     found = np.zeros(B, dtype=bool)
     out = np.zeros(B, dtype=np.uint64)
     base = 0
     while not found.all():
-        nonces = np.arange(base, base + span, dtype=np.uint64)
-        clone = Challenger(batch=(B, span))
-        clone._state = [
-            GF(jnp.broadcast_to(jnp.asarray(state_v[i])[:, None], (B, span)))
-            for i in range(state_v.shape[0])
-        ]
-        clone._input_buffer = [
-            GF(jnp.broadcast_to(jnp.asarray(buffer_v[i])[:, None], (B, span)))
-            for i in range(buffer_v.shape[0])
-        ]
-        clone.observe(GF(jnp.broadcast_to(jnp.asarray(nonces), (B, span))))
-        chl = gl.to_u64(clone.get_challenge())  # (B, span)
+        chl = np.asarray(jax.device_get(
+            fn(state_j, buffer_j, jnp.uint64(base))
+        ))  # (B, span)
         ok = (chl >> np.uint64(64 - pow_bits)) == 0
         for b in range(B):
             if not found[b]:
@@ -604,9 +628,18 @@ def prove_batch(
     B = witnesses.shape[0]
     assert len(public_inputs) == B
 
-    pi_hashes = np.array(
-        [p2h.hash_no_pad(list(pis)) for pis in public_inputs], dtype=np.uint64
-    )  # (B, 4)
+    lens = {len(p) for p in public_inputs}
+    if len(lens) == 1:
+        # one device dispatch for all B pi hashes (the pure-Python host
+        # sponge cost ~53 ms/batch at B=32 — r5 stage profile)
+        pi_arr = np.array([[int(x) % gl.P for x in p] for p in public_inputs],
+                          dtype=np.uint64)
+        pi_hashes = p2.hash_no_pad(GF(jnp.asarray(pi_arr))).v  # (B, 4) dev
+    else:  # mixed layouts: host fallback
+        pi_hashes = np.array(
+            [p2h.hash_no_pad(list(pis)) for pis in public_inputs],
+            dtype=np.uint64,
+        )
 
     cache = getattr(data, "_batch_jits", None)
     if cache is None:
@@ -662,6 +695,16 @@ def prove_batch(
     qc = nc * qk
     num_folds = len(fold_caps)
 
+    # Bulk ndarray->list conversion ONCE (r5 stage profile: the previous
+    # per-element int() loops cost ~118 ms/batch — 42% of prove time)
+    fc0_l = fc0[:, :final_len].tolist()
+    fc1_l = fc1[:, :final_len].tolist()
+    o0_l = o0_all.tolist()
+    o1_l = o1_all.tolist()
+    fold_pairs = [np.asarray(qh["folds"][r][0]).tolist()
+                  for r in range(num_folds)]
+    pow_l = [int(x) for x in pow_witnesses]
+
     proofs: List[Proof] = []
     for b in range(B):
         query_rounds = []
@@ -680,13 +723,10 @@ def prove_batch(
             ]
             steps = []
             for r in range(num_folds):
-                row = qh["folds"][r][0][b, q]
+                row = fold_pairs[r][b][q]
                 steps.append(
                     FriQueryStep(
-                        pair=(
-                            (int(row[0]), int(row[1])),
-                            (int(row[2]), int(row[3])),
-                        ),
+                        pair=((row[0], row[1]), (row[2], row[3])),
                         siblings=np.asarray(
                             qh["folds"][r][1][b, q], dtype=np.uint64
                         ),
@@ -701,17 +741,14 @@ def prove_batch(
             )
         fri_proof = FriProof(
             commit_caps=[c[b] for c in fold_caps],
-            final_poly=[
-                (int(a), int(bb))
-                for a, bb in zip(fc0[b, :final_len], fc1[b, :final_len])
-            ],
-            pow_witness=int(pow_witnesses[b]),
+            final_poly=list(zip(fc0_l[b], fc1_l[b])),
+            pow_witness=pow_l[b],
             query_rounds=query_rounds,
         )
-        o0, o1 = o0_all[b], o1_all[b]
+        o0, o1 = o0_l[b], o1_l[b]
 
         def seg(lo, hi):
-            return [(int(a), int(bb)) for a, bb in zip(o0[lo:hi], o1[lo:hi])]
+            return list(zip(o0[lo:hi], o1[lo:hi]))
 
         proofs.append(
             Proof(

@@ -1,10 +1,13 @@
 """Stage-level profile of the batched tree-node prover on the real chip.
 
-VERDICT r4 item 2: explain where the batch time goes (NTT vs hash vs
-constraint eval vs transposes vs host grind vs gathers vs transfer).
-Pure measurement — reuses the exact jitted programs bench.py compiles, so
-the persistent compile cache stays valid.
+VERDICT r4 item 2: explain where the batch time goes.  Methodology:
+cumulative-prefix timing — each measurement runs the pipeline from the
+start up to stage k and syncs ONCE on one small leaf (bench.py _sync
+style; per-leaf block_until_ready through the axon tunnel pays a round
+trip per leaf and inflates per-stage numbers ~6x).  Differences between
+prefixes are the marginal cost of each stage inside the real pipeline.
 
+Pure measurement — reuses the exact jitted programs bench.py compiles.
 Run standalone (the only axon process): python probe_prove_profile.py
 """
 
@@ -34,9 +37,11 @@ from mp2_tpu.prover.config import test_config
 from mp2_tpu.recursion.tp2_backend import _build_tree_node
 
 
-def sync(out):
-    for leaf in jax.tree_util.tree_leaves(out):
-        leaf.block_until_ready()
+def sync1(out):
+    """One-leaf sync: forces execution of everything already enqueued."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    leaf.block_until_ready()
+    np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
 
 
 def main():
@@ -45,8 +50,7 @@ def main():
     t0 = time.time()
     data, input_targets = _build_tree_node(test_config())
     print(f"[{time.time()-t0:6.1f}s] circuit built: n={data.n} "
-          f"W={data.config.num_wires} rate={data.config.fri.rate_bits} "
-          f"cap={data.config.fri.cap_height} q={data.config.fri.num_query_rounds}")
+          f"W={data.config.num_wires} rate={data.config.fri.rate_bits}")
     wits, pis_list = [], []
     for _ in range(B):
         vals = [int(v) for v in rng.integers(0, 2**31, 37)]
@@ -57,92 +61,67 @@ def main():
         pis_list.append(pis)
     wits = np.stack(wits)
 
-    # one full warm run through the public API (compiles everything)
     t0 = time.time()
     BA.prove_batch(data, wits, pis_list)
-    print(f"[{time.time()-t0:6.1f}s] prove_batch warm (compile or cache load)")
+    print(f"[{time.time()-t0:6.1f}s] prove_batch warm")
     t0 = time.time()
     BA.prove_batch(data, wits, pis_list)
     full = time.time() - t0
-    print(f"[{full:6.3f}s] prove_batch steady-state full")
+    print(f"[{full*1e3:6.1f}ms] prove_batch steady state ({B/full:.1f} proofs/s)")
 
-    # ---- now the staged replication with per-stage sync ----
     cfg = data.config
     cache = data._batch_jits
     pi_hashes = np.array([p2h.hash_no_pad(list(p)) for p in pis_list],
                          dtype=np.uint64)
     wj = jnp.asarray(wits)
     pj = jnp.asarray(pi_hashes)
-
-    res = {}
-
-    def timeit(name, fn, n=5):
-        fn()  # warm
-        best = None
-        for _ in range(n):
-            t0 = time.perf_counter()
-            out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        res[name] = round(best * 1e3, 2)
-        print(f"  {name:24s} {best*1e3:9.2f} ms")
-        return out
-
-    s1 = cache[("stage1", B)](wj, pj)
-    sync(s1)
-    timeit("stage1", lambda: (lambda o: (sync(o), o)[1])(
-        cache[("stage1", B)](wj, pj)))
-    zeta = GF2(GF(s1["zeta"][0]), GF(s1["zeta"][1]))
-    gzeta = GF2(GF(s1["gzeta"][0]), GF(s1["gzeta"][1]))
     big = data.n << cfg.fri.rate_bits
-    inv1, inv2 = BA._combine_invs(zeta, gzeta, big)
-    sync((inv1.c0, inv2.c0))
-    timeit("combine_invs", lambda: (lambda o: (sync((o[0].c0, o[1].c0)), o)[1])(
-        BA._combine_invs(zeta, gzeta, big)))
-    s1b = cache[("stage1b", B)](s1, inv1, inv2)
-    sync(s1b)
-    timeit("stage1b", lambda: (lambda o: (sync(o), o)[1])(
-        cache[("stage1b", B)](s1, inv1, inv2)))
 
-    def grind():
+    def run_to(k: int):
+        """The pipeline from scratch up to checkpoint k; sync once."""
+        s1 = cache[("stage1", B)](wj, pj)
+        if k == 1:
+            return sync1(s1["caps"])
+        zeta = GF2(GF(s1["zeta"][0]), GF(s1["zeta"][1]))
+        gzeta = GF2(GF(s1["gzeta"][0]), GF(s1["gzeta"][1]))
+        inv1, inv2 = BA._combine_invs(zeta, gzeta, big)
+        if k == 2:
+            return sync1(inv1.c0)
+        s1b = cache[("stage1b", B)](s1, inv1, inv2)
+        if k == 3:
+            return sync1(s1b["final_poly"])
         state_v, buffer_v = jax.device_get((s1b["state"], s1b["buffer"]))
-        return BA._grind_from_state(state_v, buffer_v,
-                                    cfg.fri.proof_of_work_bits)
-
-    pow_w = timeit("grind(host+device)", grind)
-
-    q_out = cache[("queries", B)](s1b["state"], s1b["buffer"],
-                                  jnp.asarray(pow_w), s1["trees"],
-                                  s1b["fold_trees"])
-    sync(q_out)
-    timeit("queries", lambda: (lambda o: (sync(o), o)[1])(
-        cache[("queries", B)](s1b["state"], s1b["buffer"],
-                              jnp.asarray(pow_w), s1["trees"],
-                              s1b["fold_trees"])))
-
-    def pull():
+        pow_w = BA._grind_from_state(state_v, buffer_v,
+                                     cfg.fri.proof_of_work_bits)
+        if k == 4:
+            return pow_w
+        q_out = cache[("queries", B)](s1b["state"], s1b["buffer"],
+                                      jnp.asarray(pow_w), s1["trees"],
+                                      s1b["fold_trees"])
+        if k == 5:
+            return sync1(q_out["idx"])
         return jax.device_get({
             "caps": s1["caps"], "fold_caps": s1b["fold_caps"],
             "opens": s1["opens"], "final_poly": s1b["final_poly"],
             "q": dict(q_out),
         })
 
-    host = timeit("device_get", pull)
-
-    # host-side proof assembly (the Python loop at the end of prove_batch)
-    def assemble():
-        fc0, fc1 = host["final_poly"]
-        out = 0
-        for b in range(B):
-            for q in range(cfg.fri.num_query_rounds):
-                out += int(host["q"]["fixed"][0][b, q][0])
-        return out
-
-    timeit("assembly_probe(partial)", assemble)
-    s = sum(v for k, v in res.items())
-    print(f"  {'SUM of stages':24s} {s:9.2f} ms   (full run {full*1e3:.2f} ms)")
+    names = ["stage1", "+combine_invs", "+stage1b", "+grind", "+queries",
+             "+device_get(all)"]
+    res = {}
+    prev = 0.0
+    for k in range(1, 7):
+        best = None
+        for _ in range(4):
+            t0 = time.perf_counter()
+            run_to(k)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        res[names[k - 1]] = round(best * 1e3, 2)
+        print(f"  prefix {names[k-1]:18s} cum {best*1e3:8.2f} ms   "
+              f"marginal {max(0.0, best - prev)*1e3:8.2f} ms")
+        prev = best
     res["full_ms"] = round(full * 1e3, 2)
-    res["n"] = data.n
     res["B"] = B
     print(json.dumps(res))
 
