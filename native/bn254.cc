@@ -1152,6 +1152,11 @@ static void setup(const R1CS &r, u64 seed, ProvingKey &pk, VerifyingKey &vk) {
       Ct[wi] = f_add(Ct[wi], mont_mul(c, lag[j], FR), FR);
     });
   }
+  // lag is only consumed by the accumulation above: release its 32B*m
+  // (4.3 GB at the 2^27 production domain) before the CRS point tables
+  // are allocated — the production run OOMed at 119 GB without the
+  // progressive frees in setup/prove.
+  std::vector<U256>().swap(lag);
 
   U256 ginv = f_inv(gamma, FR), dinv = f_inv(delta, FR);
   fb_build();
@@ -1205,6 +1210,11 @@ static void setup(const R1CS &r, u64 seed, ProvingKey &pk, VerifyingKey &vk) {
     for (unsigned t = 0; t < nthreads; t++) ts.emplace_back(worker);
     for (auto &t : ts) t.join();
   }
+  // At/Bt/Ct (3 * 32B * n_wires = 9.8 GB at production) are consumed by
+  // the per-wire loop above — free before the h_query table
+  std::vector<U256>().swap(At);
+  std::vector<U256>().swap(Bt);
+  std::vector<U256>().swap(Ct);
   // h_query: [tau^i t(tau)/delta]1 for i < m-1 — tau^i per chunk via one
   // f_pow at the chunk base, then sequential multiplies inside the chunk
   pk.h_query.resize(m);
@@ -1236,8 +1246,10 @@ struct Groth16Proof {
   G2 b;
 };
 
-static Groth16Proof prove(const R1CS &r, const ProvingKey &pk,
+static Groth16Proof prove(const R1CS &r, ProvingKey &pk,
                           const std::vector<U256> &w, u64 seed) {
+  // pk is consumed progressively: each query table is freed right after
+  // its one MSM (the tables total ~42 GB at the production shape).
   int m = pk.domain;
   u64 s = seed ^ 0x9e3779b97f4a7c15ULL;
   U256 rr = fr_rand(&s), ss = fr_rand(&s);
@@ -1295,6 +1307,10 @@ static Groth16Proof prove(const R1CS &r, const ProvingKey &pk,
   for (int i = 0; i < m; i++) {
     hv[i] = mont_mul(f_sub(mont_mul(av[i], bv[i], FR), cv[i], FR), tinv, FR);
   }
+  // av/bv/cv (3 * 4.3 GB at m = 2^27) end their life here
+  std::vector<U256>().swap(av);
+  std::vector<U256>().swap(bv);
+  std::vector<U256>().swap(cv);
   fr_fft(hv, true);
   // un-coset: divide coefficient i by g^i
   U256 gi = FR.one_m;
@@ -1310,17 +1326,26 @@ static Groth16Proof prove(const R1CS &r, const ProvingKey &pk,
   // A = alpha + sum w_i A_i(tau) + r delta
   G1 A = g1_add(pk.alpha1, g1_msm(pk.a_query, wc));
   A = g1_add(A, g1_mul(pk.delta1, from_mont(rr, FR)));
+  std::vector<G1>().swap(pk.a_query);
   // B2 = beta + sum w_i B_i(tau) + s delta ; B1 likewise in G1
   G2 B = g2_add(pk.beta2, g2_msm(pk.b2_query, wc));
   B = g2_add(B, g2_mul(pk.delta2, from_mont(ss, FR)));
+  std::vector<G2>().swap(pk.b2_query);
   G1 B1 = g1_add(pk.beta1, g1_msm(pk.b1_query, wc));
   B1 = g1_add(B1, g1_mul(pk.delta1, from_mont(ss, FR)));
+  std::vector<G1>().swap(pk.b1_query);
   // C = sum_aux w_i L_i + sum h_i H_i + s A + r B1 - r s delta
   std::vector<U256> waux(wc.begin() + pk.num_public + 1, wc.end());
+  std::vector<U256>().swap(wc);
   G1 C = g1_msm(pk.l_query, waux);
-  std::vector<U256> hc(m);
-  for (int i = 0; i < m; i++) hc[i] = from_mont(hv[i], FR);
-  C = g1_add(C, g1_msm(pk.h_query, hc));
+  std::vector<G1>().swap(pk.l_query);
+  std::vector<U256>().swap(waux);
+  // reuse hv as the canonical-scalar buffer instead of a second 4.3 GB
+  // copy (hc in the original)
+  for (int i = 0; i < m; i++) hv[i] = from_mont(hv[i], FR);
+  C = g1_add(C, g1_msm(pk.h_query, hv));
+  std::vector<G1>().swap(pk.h_query);
+  std::vector<U256>().swap(hv);
   C = g1_add(C, g1_mul(A, from_mont(ss, FR)));
   C = g1_add(C, g1_mul(B1, from_mont(rr, FR)));
   C = g1_add(C, g1_neg(g1_mul(pk.delta1, from_mont(mont_mul(rr, ss, FR), FR))));
