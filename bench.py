@@ -299,36 +299,47 @@ def main():
     })
     _emit()  # PRIMARY line: on the wire before any proof-stage compile
 
-    if os.environ.get("BENCH_PROOFS", "1") != "0":
+    def _proof_substage(flag: str, label: str, default_timeout: str):
         budget = min(_remaining() - 60.0,
-                     float(os.environ.get("BENCH_PROOF_TIMEOUT", "1200")))
+                     float(os.environ.get("BENCH_PROOF_TIMEOUT",
+                                          default_timeout)))
         if budget < 60:
-            _RESULT["extra"]["proofs"] = "skipped: insufficient budget"
-        else:
-            try:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--proofs"],
-                    capture_output=True, text=True, timeout=budget,
-                )
-                line = next(
-                    (ln for ln in reversed(r.stdout.splitlines())
-                     if ln.startswith("{")), None)
-                if r.returncode == 0 and line:
-                    _RESULT["extra"].update(json.loads(line))
-                else:
-                    _RESULT["extra"]["proofs"] = (
-                        f"failed rc={r.returncode}: {r.stderr[-200:]}")
-            except subprocess.TimeoutExpired:
-                _RESULT["extra"]["proofs"] = f"skipped: timeout {budget:.0f}s"
-            except Exception as e:
-                _RESULT["extra"]["proofs"] = f"skipped: {e!r}"[:200]
+            _RESULT["extra"][label] = "skipped: insufficient budget"
+            return
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), flag],
+                capture_output=True, text=True, timeout=budget,
+            )
+            line = next(
+                (ln for ln in reversed(r.stdout.splitlines())
+                 if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                _RESULT["extra"].update(json.loads(line))
+            else:
+                _RESULT["extra"][label] = (
+                    f"failed rc={r.returncode}: {r.stderr[-200:]}")
+        except subprocess.TimeoutExpired:
+            _RESULT["extra"][label] = f"skipped: timeout {budget:.0f}s"
+        except Exception as e:
+            _RESULT["extra"][label] = f"skipped: {e!r}"[:200]
+
+    if os.environ.get("BENCH_PROOFS", "1") != "0":
+        _proof_substage("--proofs", "proofs", "1200")
+        _emit()  # light-shape proofs metric on the wire before prod stage
+    if os.environ.get("BENCH_PROOFS_PROD", "1") != "0":
+        # production-config metric (VERDICT r4 item 4): cheap when its
+        # compile cache is warm; times out gracefully when cold
+        _proof_substage("--proofs-prod", "proofs_production", "900")
 
     _RESULT["extra"]["bench_wall_s"] = round(time.time() - _T0, 1)
     _emit(final=True)
 
 
 if __name__ == "__main__":
-    if "--proofs" in sys.argv:
+    if "--proofs-prod" in sys.argv:
+        _proofs_stage(production=True)
+    elif "--proofs" in sys.argv:
         _proofs_stage()
     else:
         main()

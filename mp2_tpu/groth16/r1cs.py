@@ -115,9 +115,15 @@ class SpillRows:
     CHUNK = 1 << 19  # rows per spill fragment (~tens of MB packed)
 
     def __init__(self, spill_dir: Optional[str] = None):
+        import atexit
+        import shutil
         import tempfile
 
         self.tmpdir = tempfile.mkdtemp(prefix="mp2_r1cs_", dir=spill_dir)
+        # best-effort cleanup on interpreter exit: a production-shape run
+        # spills ~60 GB, and a crashed/killed run otherwise leaves it on
+        # disk (two stale runs filled the build box, r5)
+        atexit.register(shutil.rmtree, self.tmpdir, True)
         self._fh = []  # per matrix: (counts, wires, coeffs) file handles
         for k in range(3):
             base = f"{self.tmpdir}/m{k}"

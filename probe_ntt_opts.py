@@ -54,9 +54,9 @@ def sync(o):
 sync(fn(x))  # compile+warm
 # correctness spot check vs the host transform on a small prefix shape
 xs = GF(x.v[:4096])
-got = gl.to_u64(jax.jit(lambda v: ntt.ntt(v))(xs))
-want = ntt.host_ntt(gl.to_u64(xs))
-assert (got == np.asarray(want)).all(), "2^12 NTT mismatch under this config"
+got = [int(v) for v in gl.to_u64(jax.jit(lambda v: ntt.ntt(v))(xs))]
+want = ntt.host_ntt([int(v) for v in gl.to_u64(xs)])
+assert got == [int(v) for v in want], "2^12 NTT mismatch under this config"
 best = None
 for _ in range(3):
     t0 = time.perf_counter()
