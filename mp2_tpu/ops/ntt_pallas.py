@@ -30,8 +30,27 @@ from mp2_tpu.ops import gl_u32 as K
 
 P = K.P
 # tile height (rows per grid step); larger tiles amortize twiddle loads and
-# grid overhead at the cost of VMEM (tile bytes = 2*TILE_R*n*4)
-TILE_R = int(os.environ.get("MP2_NTT_TILE_R", "8"))
+# grid overhead at the cost of VMEM (tile bytes = 2*TILE_R*n*4).
+# Device default 32: chip sweep r5 (probe_ntt_opts) measured 2^22 NTT device
+# time 4.54 ms (TILE_R=8) / 4.34 (16) / 3.81 (32, packed) / 4.23 (64, packed).
+# CPU/interpret default stays 8: the interpret path expands the tile body
+# into one XLA-CPU program whose optimization time explodes superlinearly
+# with tile height (a 2^10 fused call at TILE_R=32 hangs >10 min in
+# compile; the same shape at 8 compiles in seconds).
+
+
+def _default_tile_r() -> int:
+    import jax as _jax
+
+    try:
+        plat = _jax.devices()[0].platform
+    except Exception:  # backend init failure: act like CPU
+        plat = "cpu"
+    return 8 if plat == "cpu" else 32
+
+
+_TILE_R_ENV = os.environ.get("MP2_NTT_TILE_R")
+TILE_R = int(_TILE_R_ENV) if _TILE_R_ENV else _default_tile_r()
 
 
 @lru_cache(maxsize=None)
@@ -627,10 +646,12 @@ def _run_fused(lo, hi, log_n, tables, tw_pair, tiles_per_batch=1,
     twlo, twhi = tables
     interpret = jax.devices()[0].platform == "cpu"
     lazy = os.environ.get("MP2_NTT_LAZY", "1") != "0"
+    # packed-pair stages default ON (r5 chip sweep: 3.81 ms device at
+    # TILE_R=32 vs 4.54 baseline; NOTE it is slightly WORSE at TILE_R=8)
     packed = (
         lazy
         and TILE_R % 2 == 0
-        and os.environ.get("MP2_NTT_PACKED", "0") == "1"
+        and os.environ.get("MP2_NTT_PACKED", "1") == "1"
     )
     with jax.enable_x64(False):
         if packed:

@@ -35,8 +35,11 @@ _EXT_RC, _INT_RC, _INT_DIAG = load_table()
 
 import os
 
-# lanes per block; batch elements per grid step = 8 * TILE_L
-TILE_L = int(os.environ.get("MP2_P2_TILE_L", "512"))
+# lanes per block; batch elements per grid step = 8 * TILE_L.
+# Default 128: chip sweep r5 — planar perms/s at 2^20: 18.1M (512 r4
+# default) / 20.9M (256) / 25.4M (128); 1024+ regress (VMEM pressure
+# starves the 30-round pipeline), 2048 collapses to 4.9M.
+TILE_L = int(os.environ.get("MP2_P2_TILE_L", "128"))
 # unroll the round loops instead of lax.fori_loop (bigger Mosaic program,
 # lets the scheduler software-pipeline across rounds)
 _UNROLL = os.environ.get("MP2_P2_UNROLL", "0") != "0"

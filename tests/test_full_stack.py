@@ -288,8 +288,20 @@ def test_real_revelation_wrap_statement_production_config():
             f"{n_wires} wires (spill-streamed)"
         )
         if os.environ.get("MP2_SLOW_G16"):
+            import gc
+
+            import jax
+
             from mp2_tpu.groth16 import _run_r1cs_csr, available
 
             assert available(), "native bn254 backend not built"
+            # Release the pipeline's retained state before the native
+            # setup/prove: the circuit sets + compiled executables +
+            # proof envelopes hold ~60 GB, and the second r5 production
+            # attempt OOMed at 128 GB with them still alive alongside
+            # the native CRS tables.
+            del qc, env, reveal, blk, m
+            jax.clear_caches()
+            gc.collect()
             assert _run_r1cs_csr(r1cs, 42, False) == 0
             print("PRODUCTION revelation Groth16 setup/prove/verify OK")
